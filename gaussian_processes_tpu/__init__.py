@@ -1,0 +1,59 @@
+"""gaussian_processes_tpu — a TPU-native Gaussian-process inference engine.
+
+A brand-new framework (not a port) with the capability set of the reference
+library ``jhamrick/gaussian_processes`` (see SURVEY.md; the reference mount
+was empty, so citations are to the reconstructed layout tagged [R]):
+
+* Squared-exponential ("Gaussian") and periodic covariance kernels with
+  closed-form first and second hyperparameter derivatives
+  (reference: gp/kernels/{gaussian,periodic}.py + *_c.pyx [R]).
+* Exact GP regression via Cholesky factorization: posterior predictive
+  mean/covariance, log marginal likelihood, analytic gradient and Hessian
+  with respect to hyperparameters (reference: gp/gp.py [R]).
+* A memoizing ``GP`` object mirroring the reference API, built on top of a
+  functional, ``jit``-able core (``fit`` / ``predict`` / ``GPPosterior``).
+* What the reference leaves to external tools, built in TPU-first:
+  type-II MLE (optax), fully Bayesian hyperparameter inference via
+  from-scratch vectorized NUTS/HMC, Pallas tiled kernel-matrix
+  construction, and multi-host chain sharding over a ``jax.sharding.Mesh``.
+
+Layer map (TPU-native analogue of SURVEY.md §2):
+
+    L2  models/   GP inference (functional core + reference-parity object)
+    L1  models/   kernels (pure functions + pytree params, analytic derivs)
+    L0  ops/      Pallas TPU kernels (tiled pairwise kernel build),
+                  blocked/distributed Cholesky  — the native layer
+        parallel/ mesh + shard_map chain sharding, collectives
+        inference/ NUTS/HMC, adaptation, type-II MLE
+        utils/    config, metrics, checkpoint, profiling, test oracles
+"""
+
+from gaussian_processes_tpu.models.base import Kernel
+from gaussian_processes_tpu.models.gaussian import GaussianKernel
+from gaussian_processes_tpu.models.periodic import PeriodicKernel
+from gaussian_processes_tpu.models.gp import (
+    GPPosterior,
+    fit,
+    predict,
+    predict_diag,
+    log_marginal_likelihood,
+    log_marginal_value_and_grad,
+    log_marginal_hessian,
+)
+from gaussian_processes_tpu.models.gp_object import GP
+
+__all__ = [
+    "Kernel",
+    "GaussianKernel",
+    "PeriodicKernel",
+    "GPPosterior",
+    "fit",
+    "predict",
+    "predict_diag",
+    "log_marginal_likelihood",
+    "log_marginal_value_and_grad",
+    "log_marginal_hessian",
+    "GP",
+]
+
+__version__ = "0.1.0"

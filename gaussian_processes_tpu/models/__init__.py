@@ -1,0 +1,32 @@
+from gaussian_processes_tpu.models.base import Kernel, pairwise_diff
+from gaussian_processes_tpu.models.gaussian import GaussianKernel
+from gaussian_processes_tpu.models.periodic import PeriodicKernel
+from gaussian_processes_tpu.models.gp import (
+    GPPosterior,
+    build_kxx,
+    fit,
+    predict,
+    predict_diag,
+    log_marginal_likelihood,
+    log_marginal_value_and_grad,
+    log_marginal_hessian,
+    likelihood_value_grad_hessian,
+)
+from gaussian_processes_tpu.models.gp_object import GP
+
+__all__ = [
+    "Kernel",
+    "pairwise_diff",
+    "GaussianKernel",
+    "PeriodicKernel",
+    "GPPosterior",
+    "build_kxx",
+    "fit",
+    "predict",
+    "predict_diag",
+    "log_marginal_likelihood",
+    "log_marginal_value_and_grad",
+    "log_marginal_hessian",
+    "likelihood_value_grad_hessian",
+    "GP",
+]

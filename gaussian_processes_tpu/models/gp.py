@@ -1,0 +1,233 @@
+"""Exact GP regression — functional, ``jit``-able core.
+
+Capability parity with the reference's GP layer (gp/gp.py [R], SURVEY.md
+§3 C2 and §4.1–4.3), redesigned functionally for JAX (SURVEY.md §7):
+the reference's mutable ``GP`` object with a memo-cache becomes
+
+    fit(kernel, x, y, noise) -> GPPosterior     (frozen pytree)
+    predict(post, xo)        -> (mean, cov)
+
+Caching falls out of holding the posterior pytree; invalidation falls out
+of immutability; the whole thing jits, vmaps and shards.
+
+Model:   y ~ N(0, K_f(x, x) + s^2 I)          (s = noise standard deviation;
+the reference's noise augmentation uses s^2 on the diagonal — its gradient
+dK/ds = 2 s I, SURVEY.md §4.3)
+
+    log p(y | x, theta) = -1/2 y^T K^-1 y - sum(log diag L) - n/2 log 2pi
+
+Hyperparameter derivatives of the log marginal likelihood, with
+alpha = K^-1 y and K_p = dK/dtheta_p (analytic kernel Jacobians/Hessians):
+
+    d log p / d theta_p = 1/2 alpha^T K_p alpha - 1/2 tr(K^-1 K_p)
+
+    d2 log p / d theta_p d theta_q =
+        1/2 alpha^T K_pq alpha
+        - 1/2 alpha^T (K_p K^-1 K_q + K_q K^-1 K_p) alpha
+        + 1/2 tr(K^-1 K_q K^-1 K_p) - 1/2 tr(K^-1 K_pq)
+
+The full parameter vector is theta = (kernel params..., s); the noise
+components use dK/ds = 2 s I, d2K/ds2 = 2 I, cross terms zero.
+
+Numerics: the predictive covariance uses two triangular solves
+(v = L^-1 K_x,xo; cov = K_xo,xo - v^T v) rather than materializing K^-1 as
+the reference does (SURVEY.md §4.2 — "match outputs, not mechanism").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+from gaussian_processes_tpu.models.base import Kernel
+
+_LOG_2PI = 1.8378770664093453
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GPPosterior:
+    """Everything the predictive equations need, computed once by ``fit``.
+
+    Attributes:
+      kernel: the covariance kernel (pytree of hyperparameters).
+      x: training inputs, shape (n,).
+      y: training targets, shape (n,).
+      noise: observation noise standard deviation s (scalar).
+      L: lower Cholesky factor of K = K_f(x, x) + (s^2 + jitter) I, (n, n).
+      alpha: K^-1 y, shape (n,).
+      log_marginal: log p(y | x, theta), scalar.
+    """
+
+    kernel: Kernel
+    x: jax.Array
+    y: jax.Array
+    noise: jax.Array
+    L: jax.Array
+    alpha: jax.Array
+    log_marginal: jax.Array
+
+
+def build_kxx(kernel: Kernel, x: jax.Array, noise, jitter=0.0) -> jax.Array:
+    """Noise-augmented kernel matrix K = K_f(x, x) + (s^2 + jitter) I."""
+    n = x.shape[0]
+    K = kernel(x, x)
+    diag = jnp.square(jnp.asarray(noise, dtype=K.dtype)) + jnp.asarray(
+        jitter, dtype=K.dtype
+    )
+    return K + diag * jnp.eye(n, dtype=K.dtype)
+
+
+def _chol_pieces(kernel, x, y, noise, jitter):
+    Kxx = build_kxx(kernel, x, noise, jitter)
+    L = jnp.linalg.cholesky(Kxx)
+    alpha = solve_triangular(
+        L.T, solve_triangular(L, y, lower=True), lower=False
+    )
+    n = x.shape[0]
+    log_marginal = (
+        -0.5 * jnp.dot(y, alpha)
+        - jnp.sum(jnp.log(jnp.diagonal(L)))
+        - 0.5 * n * _LOG_2PI
+    )
+    return L, alpha, log_marginal
+
+
+def fit(kernel: Kernel, x, y, noise, jitter=0.0) -> GPPosterior:
+    """Exact GP fit: one Cholesky factorization + solve.
+
+    This is the reference's 4.1 call stack (SURVEY.md) as a single pure
+    function: kernel build (hot loop #1) + Cholesky (hot loop #2) + solves.
+    """
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    noise = jnp.asarray(noise)
+    L, alpha, log_marginal = _chol_pieces(kernel, x, y, noise, jitter)
+    return GPPosterior(
+        kernel=kernel,
+        x=x,
+        y=y,
+        noise=noise,
+        L=L,
+        alpha=alpha,
+        log_marginal=log_marginal,
+    )
+
+
+def predict(post: GPPosterior, xo) -> Tuple[jax.Array, jax.Array]:
+    """Posterior predictive mean (m,) and full covariance (m, m) of f(xo).
+
+    mean = K_xo,x alpha;  cov = K_xo,xo - v^T v with v = L^-1 K_x,xo.
+    (Latent-function covariance; add s^2 I for observation noise.)
+    """
+    xo = jnp.asarray(xo)
+    Kxox = post.kernel(xo, post.x)
+    mean = Kxox @ post.alpha
+    v = solve_triangular(post.L, Kxox.T, lower=True)
+    cov = post.kernel(xo, xo) - v.T @ v
+    return mean, cov
+
+
+def predict_diag(post: GPPosterior, xo) -> Tuple[jax.Array, jax.Array]:
+    """Posterior predictive mean and per-point variance (no m x m matrix).
+
+    Memory-light path for large xo: var_i = k(xo_i, xo_i) - ||L^-1 k_i||^2.
+    """
+    xo = jnp.asarray(xo)
+    Kxox = post.kernel(xo, post.x)
+    mean = Kxox @ post.alpha
+    v = solve_triangular(post.L, Kxox.T, lower=True)
+    kd = post.kernel.k_fn(jnp.zeros_like(xo), *post.kernel._param_values())
+    var = kd - jnp.sum(v * v, axis=0)
+    return mean, var
+
+
+def log_marginal_likelihood(kernel: Kernel, x, y, noise, jitter=0.0) -> jax.Array:
+    """log p(y | x, theta) — the scalar the MLE/NUTS layers differentiate."""
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    _, _, lml = _chol_pieces(kernel, x, y, jnp.asarray(noise), jitter)
+    return lml
+
+
+def _full_jacobian(kernel: Kernel, x, noise, dtype):
+    """dK/dtheta for theta = (kernel params..., s); shape (P + 1, n, n)."""
+    n = x.shape[0]
+    J = kernel.jacobian(x, x)
+    Js = (2.0 * jnp.asarray(noise, dtype=dtype)) * jnp.eye(n, dtype=dtype)
+    return jnp.concatenate([J, Js[None]], axis=0)
+
+
+def _full_hessian(kernel: Kernel, x, noise, dtype):
+    """d2K/dtheta2 for theta = (kernel params..., s); (P+1, P+1, n, n)."""
+    n = x.shape[0]
+    P = kernel.n_params
+    H = kernel.hessian(x, x)
+    out = jnp.zeros((P + 1, P + 1, n, n), dtype=dtype)
+    out = out.at[:P, :P].set(H)
+    out = out.at[P, P].set(2.0 * jnp.eye(n, dtype=dtype))
+    return out
+
+
+def log_marginal_value_and_grad(kernel: Kernel, x, y, noise, jitter=0.0):
+    """Analytic (log p, d log p / d theta) with theta = (kernel params..., s).
+
+    Reference path: SURVEY.md §4.3 (gp.dloglh_dtheta).  One Cholesky, one
+    explicit K^-1 (for the trace terms), P+1 quadratic forms.
+    """
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    noise = jnp.asarray(noise)
+    L, alpha, lml = _chol_pieces(kernel, x, y, noise, jitter)
+    n = x.shape[0]
+    inv_L = solve_triangular(L, jnp.eye(n, dtype=L.dtype), lower=True)
+    inv_K = inv_L.T @ inv_L
+    J = _full_jacobian(kernel, x, noise, L.dtype)
+    quad = jnp.einsum("i,pij,j->p", alpha, J, alpha)
+    trace = jnp.einsum("ij,pji->p", inv_K, J)
+    grad = 0.5 * (quad - trace)
+    return lml, grad
+
+
+def log_marginal_hessian(kernel: Kernel, x, y, noise, jitter=0.0):
+    """Analytic d2 log p / d theta2, shape (P+1, P+1).
+
+    Reference path: the gp.d2lh_dtheta2 assembly (SURVEY.md §4.3), written
+    as batched einsums over the stacked kernel Jacobian/Hessian tensors.
+    """
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    noise = jnp.asarray(noise)
+    L, alpha, _ = _chol_pieces(kernel, x, y, noise, jitter)
+    n = x.shape[0]
+    inv_L = solve_triangular(L, jnp.eye(n, dtype=L.dtype), lower=True)
+    inv_K = inv_L.T @ inv_L
+    J = _full_jacobian(kernel, x, noise, L.dtype)          # (T, n, n)
+    H = _full_hessian(kernel, x, noise, L.dtype)           # (T, T, n, n)
+
+    Ja = jnp.einsum("pij,j->pi", J, alpha)                 # K_p alpha
+    KiJa = jnp.einsum("ij,pj->pi", inv_K, Ja)              # K^-1 K_p alpha
+    W = jnp.einsum("ij,pjk->pik", inv_K, J)                # K^-1 K_p
+
+    term1 = 0.5 * jnp.einsum("i,pqij,j->pq", alpha, H, alpha)
+    cross = jnp.einsum("pi,qi->pq", Ja, KiJa)
+    term2 = -0.5 * (cross + cross.T)
+    term3 = 0.5 * jnp.einsum("qij,pji->pq", W, W)
+    term4 = -0.5 * jnp.einsum("ij,pqji->pq", inv_K, H)
+    return term1 + term2 + term3 + term4
+
+
+def likelihood_value_grad_hessian(kernel: Kernel, x, y, noise, jitter=0.0):
+    """(lh, dlh/dtheta, d2lh/dtheta2) for the *non-log* marginal likelihood.
+
+    Parity with the reference's lh / dlh_dtheta / d2lh_dtheta2 properties:
+    lh = exp(loglh); dlh = lh * dloglh; d2lh = lh (dloglh dloglh^T + d2loglh).
+    """
+    lml, g = log_marginal_value_and_grad(kernel, x, y, noise, jitter)
+    Hl = log_marginal_hessian(kernel, x, y, noise, jitter)
+    lh = jnp.exp(lml)
+    return lh, lh * g, lh * (jnp.outer(g, g) + Hl)

@@ -1,0 +1,270 @@
+"""Reference-parity ``GP`` object: memoizing facade over the functional core.
+
+API parity with the reference's ``gp.gp.GP`` (SURVEY.md §3 C2): a mutable
+object constructed as ``GP(K, x, y, s)`` with memoized expensive
+quantities (``Kxx``, ``Lxx``, ``inv_Lxx``, ``inv_Kxx``, ``inv_Kxx_y``,
+``log_lh``, ``lh``, ``dloglh_dtheta``, ``dlh_dtheta``, ``d2lh_dtheta2``),
+cross-covariance helpers (``Kxoxo``/``Kxxo``/``Kxox``), predictive
+``mean``/``cov``, ``params`` get/set with cache invalidation, ``copy`` and
+``plot`` (SURVEY.md §4.3 — the params setter is the cache-invalidation
+entry point).
+
+All heavy lifting delegates to the jitted functional core in
+``models/gp.py``; this class only provides the reference's ergonomic,
+stateful surface on top.  New code should prefer the functional API.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+from gaussian_processes_tpu.models import gp as _core
+from gaussian_processes_tpu.models.base import Kernel
+
+
+class memoprop:
+    """Property memoized in the instance cache; cleared on invalidation.
+
+    The TPU-friendly analogue of the reference's object-level memo cache
+    (SURVEY.md §3 C2): values are computed lazily on first access and
+    dropped whenever x / y / s / params are assigned.
+    """
+
+    def __init__(self, fget):
+        self.fget = fget
+        self.name = fget.__name__
+        self.__doc__ = fget.__doc__
+
+    def __get__(self, obj, objtype=None):
+        if obj is None:
+            return self
+        cache = obj._memo
+        if self.name not in cache:
+            cache[self.name] = self.fget(obj)
+        return cache[self.name]
+
+
+class GP:
+    """Exact Gaussian-process regression with memoized inference quantities.
+
+    Args:
+      K: covariance kernel (e.g. ``GaussianKernel(h, w)``).
+      x: training inputs, shape (n,).
+      y: training targets, shape (n,).
+      s: observation noise standard deviation (noise variance s^2 is added
+         to the kernel-matrix diagonal).
+      jitter: extra diagonal jitter for low-precision Cholesky stability.
+    """
+
+    def __init__(self, K: Kernel, x, y, s=0.0, jitter=0.0):
+        self._memo = {}
+        self._K = K
+        self._x = jnp.asarray(x)
+        self._y = jnp.asarray(y)
+        self._s = jnp.asarray(s)
+        self._jitter = jitter
+
+    # -- state + invalidation ------------------------------------------------
+
+    def _invalidate(self):
+        self._memo.clear()
+
+    @property
+    def K(self) -> Kernel:
+        """The covariance kernel object."""
+        return self._K
+
+    @K.setter
+    def K(self, value: Kernel):
+        self._K = value
+        self._invalidate()
+
+    @property
+    def x(self):
+        return self._x
+
+    @x.setter
+    def x(self, value):
+        self._x = jnp.asarray(value)
+        self._invalidate()
+
+    @property
+    def y(self):
+        return self._y
+
+    @y.setter
+    def y(self, value):
+        self._y = jnp.asarray(value)
+        self._invalidate()
+
+    @property
+    def s(self):
+        return self._s
+
+    @s.setter
+    def s(self, value):
+        self._s = jnp.asarray(value)
+        self._invalidate()
+
+    @property
+    def params(self):
+        """Full hyperparameter vector theta = (kernel params..., s)."""
+        return jnp.concatenate(
+            [self._K.params, jnp.reshape(self._s, (1,)).astype(self._K.params.dtype)]
+        )
+
+    @params.setter
+    def params(self, theta):
+        theta = jnp.asarray(theta)
+        self._K = self._K.with_params(theta[:-1])
+        self._s = theta[-1]
+        self._invalidate()
+
+    def copy(self) -> "GP":
+        """Independent copy (fresh memo cache, same kernel params)."""
+        return GP(self._K.copy(), self._x, self._y, self._s, jitter=self._jitter)
+
+    # -- memoized inference quantities ----------------------------------------
+
+    @memoprop
+    def _posterior(self) -> _core.GPPosterior:
+        return _fit_jit(self._K, self._x, self._y, self._s, self._jitter)
+
+    @memoprop
+    def Kxx(self):
+        """Noise-augmented kernel matrix K_f(x, x) + s^2 I, shape (n, n)."""
+        return _core.build_kxx(self._K, self._x, self._s, self._jitter)
+
+    @memoprop
+    def Lxx(self):
+        """Lower Cholesky factor of ``Kxx``."""
+        return self._posterior.L
+
+    @memoprop
+    def inv_Lxx(self):
+        """Inverse of the Cholesky factor (parity; prefer triangular solves)."""
+        n = self._x.shape[0]
+        return solve_triangular(self.Lxx, jnp.eye(n, dtype=self.Lxx.dtype), lower=True)
+
+    @memoprop
+    def inv_Kxx(self):
+        """Explicit K^-1 (parity with the reference's cached inverse)."""
+        iL = self.inv_Lxx
+        return iL.T @ iL
+
+    @memoprop
+    def inv_Kxx_y(self):
+        """alpha = K^-1 y, shape (n,)."""
+        return self._posterior.alpha
+
+    @memoprop
+    def log_lh(self):
+        """Log marginal likelihood log p(y | x, theta)."""
+        return self._posterior.log_marginal
+
+    @memoprop
+    def lh(self):
+        """Marginal likelihood p(y | x, theta)."""
+        return jnp.exp(self.log_lh)
+
+    @memoprop
+    def dloglh_dtheta(self):
+        """Analytic d log p / d theta, theta = (kernel params..., s)."""
+        _, g = _vg_jit(self._K, self._x, self._y, self._s, self._jitter)
+        return g
+
+    @memoprop
+    def dlh_dtheta(self):
+        """Analytic d p / d theta = lh * dloglh_dtheta."""
+        return self.lh * self.dloglh_dtheta
+
+    @memoprop
+    def d2loglh_dtheta2(self):
+        """Analytic d2 log p / d theta2, shape (P+1, P+1)."""
+        return _hess_jit(self._K, self._x, self._y, self._s, self._jitter)
+
+    @memoprop
+    def d2lh_dtheta2(self):
+        """Analytic d2 p / d theta2 = lh (g g^T + d2 log p)."""
+        g = self.dloglh_dtheta
+        return self.lh * (jnp.outer(g, g) + self.d2loglh_dtheta2)
+
+    # -- cross-covariances + prediction ---------------------------------------
+
+    def Kxoxo(self, xo):
+        """K_f(xo, xo), shape (m, m)."""
+        xo = jnp.asarray(xo)
+        return self._K(xo, xo)
+
+    def Kxxo(self, xo):
+        """K_f(x, xo), shape (n, m)."""
+        xo = jnp.asarray(xo)
+        return self._K(self._x, xo)
+
+    def Kxox(self, xo):
+        """K_f(xo, x), shape (m, n)."""
+        xo = jnp.asarray(xo)
+        return self._K(xo, self._x)
+
+    def mean(self, xo):
+        """Posterior predictive mean of f(xo), shape (m,)."""
+        m, _ = _predict_jit(self._posterior, jnp.asarray(xo))
+        return m
+
+    def cov(self, xo):
+        """Posterior predictive covariance of f(xo), shape (m, m)."""
+        _, c = _predict_jit(self._posterior, jnp.asarray(xo))
+        return c
+
+    def plot(self, xo=None, nsamples: Optional[int] = None, ax=None):
+        """Plot the data and the posterior mean ± 2 std band (parity with
+        the reference's GP.plot; requires matplotlib)."""
+        import matplotlib.pyplot as plt
+        import numpy as np
+
+        if ax is None:
+            _, ax = plt.subplots()
+        if xo is None:
+            lo, hi = float(jnp.min(self._x)), float(jnp.max(self._x))
+            pad = 0.1 * (hi - lo + 1e-9)
+            xo = jnp.linspace(lo - pad, hi + pad, 200)
+        xo = jnp.asarray(xo)
+        mean, var = _core.predict_diag(self._posterior, xo)
+        mean = np.asarray(mean)
+        std = np.sqrt(np.maximum(np.asarray(var), 0.0))
+        ax.fill_between(np.asarray(xo), mean - 2 * std, mean + 2 * std, alpha=0.3)
+        ax.plot(np.asarray(xo), mean, lw=2)
+        if nsamples:
+            import numpy.random as npr
+
+            _, covf = _predict_jit(self._posterior, xo)
+            draws = npr.multivariate_normal(
+                mean, np.asarray(covf) + 1e-10 * np.eye(len(mean)), nsamples
+            )
+            ax.plot(np.asarray(xo), draws.T, alpha=0.4, lw=0.8)
+        ax.plot(np.asarray(self._x), np.asarray(self._y), "k.", ms=8)
+        return ax
+
+
+@jax.jit
+def _fit_jit(kernel, x, y, s, jitter):
+    return _core.fit(kernel, x, y, s, jitter)
+
+
+@jax.jit
+def _vg_jit(kernel, x, y, s, jitter):
+    return _core.log_marginal_value_and_grad(kernel, x, y, s, jitter)
+
+
+@jax.jit
+def _hess_jit(kernel, x, y, s, jitter):
+    return _core.log_marginal_hessian(kernel, x, y, s, jitter)
+
+
+@jax.jit
+def _predict_jit(post, xo):
+    return _core.predict(post, xo)

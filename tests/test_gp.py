@@ -1,0 +1,168 @@
+"""GP-layer tests: functional core vs the numpy/scipy exact-GP oracle.
+
+Ports of the reference's GP identity tests (SURVEY.md §5 item 3) plus the
+derivative gates of §4.3/§4.5: log marginal likelihood, its analytic
+gradient and Hessian vs finite differences AND vs jax.grad through the
+Cholesky.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gaussian_processes_tpu.models import (
+    GaussianKernel,
+    PeriodicKernel,
+    fit,
+    predict,
+    predict_diag,
+    log_marginal_likelihood,
+    log_marginal_value_and_grad,
+    log_marginal_hessian,
+    likelihood_value_grad_hessian,
+)
+from gaussian_processes_tpu.utils.testing import (
+    OPT,
+    approx_deriv,
+    make_xo,
+    make_xy,
+    oracle_fit,
+    oracle_predict,
+    oracle_se_k,
+    oracle_periodic_k,
+)
+
+CASES = [
+    (GaussianKernel, (1.4, 0.8), oracle_se_k),
+    (PeriodicKernel, (1.1, 0.9, 1.6), oracle_periodic_k),
+]
+
+
+def _setup(cls, theta, okern, seed=0, n=40, s=0.2):
+    rng = np.random.default_rng(seed)
+    x, y = make_xy(rng, n=n, periodic=(cls is PeriodicKernel))
+    kern = cls(*[jnp.float64(t) for t in theta])
+    kfun = lambda a, b: okern(a, b, *theta)
+    return kern, kfun, x, y, s
+
+
+@pytest.mark.parametrize("cls,theta,okern", CASES)
+def test_fit_matches_oracle(cls, theta, okern):
+    kern, kfun, x, y, s = _setup(cls, theta, okern)
+    post = fit(kern, x, y, s)
+    o = oracle_fit(kfun, x, y, s)
+    np.testing.assert_allclose(post.L, o["L"], atol=1e-8, rtol=1e-8)
+    np.testing.assert_allclose(post.alpha, o["alpha"], atol=1e-8, rtol=1e-8)
+    np.testing.assert_allclose(post.log_marginal, o["log_lh"], atol=1e-8, rtol=1e-10)
+    np.testing.assert_allclose(
+        log_marginal_likelihood(kern, x, y, s), o["log_lh"], atol=1e-8, rtol=1e-10
+    )
+
+
+@pytest.mark.parametrize("cls,theta,okern", CASES)
+def test_predict_matches_oracle(cls, theta, okern):
+    kern, kfun, x, y, s = _setup(cls, theta, okern)
+    post = fit(kern, x, y, s)
+    xo = make_xo(23)
+    mean, cov = predict(post, xo)
+    omean, ocov = oracle_predict(kfun, oracle_fit(kfun, x, y, s), x, xo)
+    np.testing.assert_allclose(mean, omean, atol=1e-8, rtol=1e-8)
+    np.testing.assert_allclose(cov, ocov, atol=1e-8, rtol=1e-6)
+
+    m2, var = predict_diag(post, xo)
+    np.testing.assert_allclose(m2, omean, atol=1e-8, rtol=1e-8)
+    np.testing.assert_allclose(var, np.diag(ocov), atol=1e-8, rtol=1e-6)
+
+
+@pytest.mark.parametrize("cls,theta,okern", CASES)
+def test_loglik_grad_vs_finite_differences(cls, theta, okern):
+    kern, _, x, y, s = _setup(cls, theta, okern)
+    lml, grad = log_marginal_value_and_grad(kern, x, y, s)
+
+    def f(t_full):
+        k = kern.with_params(t_full[:-1])
+        return log_marginal_likelihood(k, x, y, t_full[-1])
+
+    t0 = np.concatenate([np.asarray(theta), [s]])
+    np.testing.assert_allclose(lml, f(t0), atol=1e-10)
+    num = approx_deriv(f, t0)
+    np.testing.assert_allclose(grad, num, atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("cls,theta,okern", CASES)
+def test_loglik_grad_vs_autodiff(cls, theta, okern):
+    kern, _, x, y, s = _setup(cls, theta, okern)
+    _, grad = log_marginal_value_and_grad(kern, x, y, s)
+
+    def f(t_full):
+        k = kern.with_params(t_full[:-1])
+        return log_marginal_likelihood(k, x, y, t_full[-1])
+
+    t0 = jnp.asarray(np.concatenate([np.asarray(theta), [s]]))
+    auto = jax.grad(f)(t0)
+    np.testing.assert_allclose(grad, auto, atol=1e-9, rtol=1e-8)
+
+
+@pytest.mark.parametrize("cls,theta,okern", CASES)
+def test_loglik_hessian_vs_autodiff(cls, theta, okern):
+    kern, _, x, y, s = _setup(cls, theta, okern, n=25)
+    H = log_marginal_hessian(kern, x, y, s)
+
+    def f(t_full):
+        k = kern.with_params(t_full[:-1])
+        return log_marginal_likelihood(k, x, y, t_full[-1])
+
+    t0 = jnp.asarray(np.concatenate([np.asarray(theta), [s]]))
+    auto = jax.hessian(f)(t0)
+    np.testing.assert_allclose(H, auto, atol=1e-8, rtol=1e-6)
+    np.testing.assert_allclose(H, H.T, atol=1e-10)
+
+
+@pytest.mark.parametrize("cls,theta,okern", CASES)
+def test_likelihood_value_grad_hessian(cls, theta, okern):
+    """lh / dlh / d2lh parity: lh = exp(loglh) etc."""
+    kern, _, x, y, s = _setup(cls, theta, okern, n=20)
+    lh, dlh, d2lh = likelihood_value_grad_hessian(kern, x, y, s)
+    lml, g = log_marginal_value_and_grad(kern, x, y, s)
+    Hl = log_marginal_hessian(kern, x, y, s)
+    np.testing.assert_allclose(lh, np.exp(lml), rtol=1e-7)
+    np.testing.assert_allclose(dlh, np.exp(lml) * np.asarray(g), rtol=1e-8)
+    np.testing.assert_allclose(
+        d2lh,
+        np.exp(lml) * (np.outer(g, g) + np.asarray(Hl)),
+        rtol=1e-8,
+        atol=1e-12,
+    )
+
+
+def test_fit_predict_jit_and_grad_through_fit():
+    """The whole fit+predict path jits, and jax.grad flows through fit."""
+    kern, _, x, y, s = _setup(GaussianKernel, (1.4, 0.8), oracle_se_k)
+    xo = make_xo(11)
+
+    @jax.jit
+    def run(k, noise):
+        post = fit(k, x, y, noise)
+        m, v = predict_diag(post, xo)
+        return post.log_marginal, m, v
+
+    lml, m, v = run(kern, s)
+    assert np.isfinite(lml)
+    assert m.shape == (11,) and v.shape == (11,)
+    assert np.all(np.asarray(v) > 0)
+
+    g = jax.grad(lambda hw: fit(kern.with_params(hw), x, y, s).log_marginal)(
+        kern.params
+    )
+    _, ana = log_marginal_value_and_grad(kern, x, y, s)
+    np.testing.assert_allclose(g, ana[:2], atol=1e-9, rtol=1e-8)
+
+
+def test_jitter_stabilizes_low_noise():
+    rng = np.random.default_rng(9)
+    x, y = make_xy(rng, n=30)
+    kern = GaussianKernel(jnp.float64(1.0), jnp.float64(0.5))
+    post = fit(kern, x, y, 0.0, jitter=1e-8)
+    assert np.isfinite(np.asarray(post.log_marginal))
+    assert np.all(np.isfinite(np.asarray(post.L)))
