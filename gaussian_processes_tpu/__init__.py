@@ -28,32 +28,49 @@ Layer map (TPU-native analogue of SURVEY.md §2):
         utils/    config, metrics, checkpoint, profiling, test oracles
 """
 
-from gaussian_processes_tpu.models.base import Kernel
+from gaussian_processes_tpu.models.base import Kernel, pairwise_diff
 from gaussian_processes_tpu.models.gaussian import GaussianKernel
 from gaussian_processes_tpu.models.periodic import PeriodicKernel
 from gaussian_processes_tpu.models.gp import (
     GPPosterior,
+    build_kxx,
     fit,
     predict,
     predict_diag,
     log_marginal_likelihood,
     log_marginal_value_and_grad,
     log_marginal_hessian,
+    likelihood_value_grad_hessian,
 )
 from gaussian_processes_tpu.models.gp_object import GP
+from gaussian_processes_tpu.inference import (
+    fit_mle,
+    fit_mle_restarts,
+    make_log_likelihood,
+    make_log_posterior,
+    sample_nuts,
+)
 
 __all__ = [
     "Kernel",
+    "pairwise_diff",
     "GaussianKernel",
     "PeriodicKernel",
     "GPPosterior",
+    "build_kxx",
     "fit",
     "predict",
     "predict_diag",
     "log_marginal_likelihood",
     "log_marginal_value_and_grad",
     "log_marginal_hessian",
+    "likelihood_value_grad_hessian",
     "GP",
+    "fit_mle",
+    "fit_mle_restarts",
+    "make_log_likelihood",
+    "make_log_posterior",
+    "sample_nuts",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,12 @@
+"""Native ops layer: Pallas TPU kernels (SURVEY.md §3 native callout).
+
+The reference's only native code is its Cython kernel-evaluation
+extensions; the TPU-native equivalents live here.
+"""
+
+from gaussian_processes_tpu.ops.pairwise import (
+    pairwise_matrix,
+    pairwise_matrix_reference,
+)
+
+__all__ = ["pairwise_matrix", "pairwise_matrix_reference"]

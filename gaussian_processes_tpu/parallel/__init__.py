@@ -1,0 +1,26 @@
+"""Parallel layer: device meshes, chain sharding, distributed linalg.
+
+The TPU-native communication backend (SURVEY.md §6.8): XLA collectives
+over ICI/DCN via ``jax.sharding.Mesh`` + ``shard_map``/``jit`` — no
+NCCL/MPI analogue is needed on TPU.
+"""
+
+from gaussian_processes_tpu.parallel.sharded import (
+    ShardedNUTSResult,
+    make_chain_mesh,
+    sample_nuts_sharded,
+)
+from gaussian_processes_tpu.parallel.distributed_gp import (
+    fit_sharded,
+    make_grid_mesh,
+    predict_diag_sharded,
+)
+
+__all__ = [
+    "ShardedNUTSResult",
+    "make_chain_mesh",
+    "sample_nuts_sharded",
+    "fit_sharded",
+    "make_grid_mesh",
+    "predict_diag_sharded",
+]

@@ -1,0 +1,92 @@
+"""Tier 2 multi-device tests on the 8-device virtual CPU mesh
+(SURVEY.md §5: shard_map chain sharding and sharded linalg,
+deterministic and cluster-free).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussian_processes_tpu import GaussianKernel, fit, predict_diag
+from gaussian_processes_tpu.inference import (
+    init_positions,
+    make_log_posterior,
+    sample_nuts,
+)
+from gaussian_processes_tpu.parallel import (
+    fit_sharded,
+    make_chain_mesh,
+    make_grid_mesh,
+    predict_diag_sharded,
+    sample_nuts_sharded,
+)
+from gaussian_processes_tpu.utils import testing as tu
+
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _problem(n=24, seed=0):
+    rng = np.random.default_rng(seed)
+    x, y = tu.make_xy(rng, n=n)
+    k0 = GaussianKernel(h=jnp.asarray(1.0), w=jnp.asarray(1.0))
+    return k0, x, y
+
+
+def test_sharded_nuts_runs_and_matches_statistics():
+    k0, x, y = _problem()
+    log_post = make_log_posterior(k0, x, y, prior_std=1.5)
+    key = jax.random.key(0)
+    k1, k2 = jax.random.split(key)
+    init = init_positions(k0, 0.2, k1, n_chains=16, spread=0.3)
+
+    mesh = make_chain_mesh(8)
+    res = sample_nuts_sharded(
+        log_post, init, k2, mesh=mesh,
+        num_warmup=200, num_samples=200, max_depth=8,
+    )
+    assert res.positions.shape == (200, 16, 3)
+    draws = np.asarray(res.positions).reshape(-1, 3)
+    assert np.all(np.isfinite(draws))
+    assert float(np.asarray(res.diverging).mean()) < 0.05
+
+    # pooled adaptation must agree with the single-device sampler's
+    # statistics on the same problem (not bitwise — different RNG streams)
+    ref = sample_nuts(log_post, init, k2, num_warmup=200, num_samples=200, max_depth=8)
+    ref_draws = np.asarray(ref.positions).reshape(-1, 3)
+    np.testing.assert_allclose(
+        draws.mean(0), ref_draws.mean(0), atol=4 * ref_draws.std(0).max() / np.sqrt(100)
+    )
+    # step size / inv_mass pooled identically across devices -> scalar out
+    assert np.isfinite(float(res.step_size))
+    assert res.inv_mass.shape == (3,)
+
+
+def test_sharded_fit_matches_single_device():
+    k0, x, y = _problem(n=64)
+    mesh = make_grid_mesh(8)  # 2 x 4 grid
+    post_s = fit_sharded(k0, x, y, 0.2, mesh, jitter=0.0)
+    post = fit(k0, x, y, 0.2)
+    np.testing.assert_allclose(
+        float(post_s.log_marginal), float(post.log_marginal), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(post_s.alpha), np.asarray(post.alpha), rtol=1e-8
+    )
+
+    xo = tu.make_xo(32)
+    m_s, v_s = predict_diag_sharded(post_s, xo, mesh)
+    m, v = predict_diag(post, xo)
+    np.testing.assert_allclose(np.asarray(m_s), np.asarray(m), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(v_s), np.asarray(v), rtol=1e-6, atol=1e-10)
+
+
+def test_sharded_nuts_wrong_chain_count_raises():
+    k0, x, y = _problem()
+    log_post = make_log_posterior(k0, x, y)
+    init = jnp.zeros((10, 3))
+    with pytest.raises(ValueError, match="divide"):
+        sample_nuts_sharded(log_post, init, jax.random.key(0), mesh=make_chain_mesh(8))
