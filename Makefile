@@ -1,0 +1,29 @@
+# Developer entry points (CI analogue of the reference's Makefile/Travis,
+# SURVEY.md §3 C14).
+
+PY ?= python
+
+.PHONY: test test-fast bench cpu-baseline dryrun lint native
+
+native:
+	cd native && $(PY) setup.py build_ext --inplace -q
+
+test:
+	$(PY) -m pytest tests/ -q
+
+test-fast:
+	$(PY) -m pytest tests/ -q -x -k "not mvn and not rwm and not mass_matrix"
+
+bench:
+	$(PY) bench.py
+
+cpu-baseline:
+	env -u PALLAS_AXON_POOL_IPS $(PY) benchmarks/cpu_baseline.py 4096 16384
+
+dryrun:
+	env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+	  XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+	  $(PY) -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+lint:
+	$(PY) -m compileall -q gaussian_processes_tpu tests bench.py __graft_entry__.py

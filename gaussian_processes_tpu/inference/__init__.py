@@ -31,6 +31,7 @@ from gaussian_processes_tpu.inference.gp_model import (
     unpack,
 )
 from gaussian_processes_tpu.inference.mle import MLEResult, fit_mle, fit_mle_restarts
+from gaussian_processes_tpu.inference.diagnostics import ess, split_rhat, summarize
 
 __all__ = [
     "DualAveragingState",
@@ -56,4 +57,7 @@ __all__ = [
     "MLEResult",
     "fit_mle",
     "fit_mle_restarts",
+    "ess",
+    "split_rhat",
+    "summarize",
 ]

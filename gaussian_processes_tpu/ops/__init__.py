@@ -8,5 +8,6 @@ from gaussian_processes_tpu.ops.pairwise import (
     pairwise_matrix,
     pairwise_matrix_reference,
 )
+from gaussian_processes_tpu.ops import host
 
-__all__ = ["pairwise_matrix", "pairwise_matrix_reference"]
+__all__ = ["pairwise_matrix", "pairwise_matrix_reference", "host"]

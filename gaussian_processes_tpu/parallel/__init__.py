@@ -15,8 +15,24 @@ from gaussian_processes_tpu.parallel.distributed_gp import (
     make_grid_mesh,
     predict_diag_sharded,
 )
+from gaussian_processes_tpu.parallel.block_cholesky import (
+    BlockCyclicPosterior,
+    fit_blockcyclic,
+    predict_diag_blockcyclic,
+)
+from gaussian_processes_tpu.parallel.multihost import (
+    host_checkpoint_path,
+    initialize_cluster,
+    is_primary,
+)
 
 __all__ = [
+    "BlockCyclicPosterior",
+    "fit_blockcyclic",
+    "predict_diag_blockcyclic",
+    "host_checkpoint_path",
+    "initialize_cluster",
+    "is_primary",
     "ShardedNUTSResult",
     "make_chain_mesh",
     "sample_nuts_sharded",
