@@ -30,20 +30,21 @@ def main(seed=0):
     print("cluster:", info)
 
     rng = np.random.default_rng(seed)
-    x = np.sort(rng.uniform(-np.pi, np.pi, 256))
-    y = np.sin(2 * x) + 0.1 * rng.standard_normal(256)
+    n = 96  # kept small so the example is quick on a CPU mesh; scale up on TPU
+    x = np.sort(rng.uniform(-np.pi, np.pi, n))
+    y = np.sin(2 * x) + 0.1 * rng.standard_normal(n)
     kernel = gpt.GaussianKernel(h=jnp.asarray(1.0), w=jnp.asarray(1.0))
 
     n_dev = len(jax.devices())
 
     # --- chain parallelism: one population, adaptation pooled over ICI ---
     mesh = make_chain_mesh()
-    n_chains = 16 * n_dev
+    n_chains = 4 * n_dev
     log_post = make_log_posterior(kernel, x, y, jitter=1e-6)
     k1, k2 = jax.random.split(jax.random.key(seed))
     init = init_positions(kernel, 0.2, k1, n_chains=n_chains, spread=0.2)
     res = sample_nuts_sharded(log_post, init, k2, mesh=mesh,
-                              num_warmup=100, num_samples=100, max_depth=8)
+                              num_warmup=60, num_samples=60, max_depth=6)
     print(f"{n_chains} chains on {n_dev} devices; "
           f"step={float(res.step_size):.4f} "
           f"div={float(np.asarray(res.diverging).mean()):.4f}")

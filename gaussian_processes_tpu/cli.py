@@ -128,6 +128,8 @@ def run_config(cfg) -> dict:
                 )
             jax.block_until_ready(res.positions)
         wall = _time.perf_counter() - t0
+        from gaussian_processes_tpu.inference.diagnostics import summarize as diag_summarize
+
         summary = summarize_nuts(res)
         draws = np.asarray(res.positions).reshape(-1, init.shape[-1])
         summary.update(
@@ -135,6 +137,7 @@ def run_config(cfg) -> dict:
             samples_per_s=ncfg.num_samples * ncfg.n_chains / wall,
             posterior_mean=np.exp(draws).mean(0).tolist(),
             posterior_sd=np.exp(draws).std(0).tolist(),
+            diagnostics=diag_summarize(np.asarray(res.positions), wall_s=wall),
         )
 
     elif cfg.task == "fit_large":

@@ -1,12 +1,15 @@
 from gaussian_processes_tpu.models.base import Kernel, pairwise_diff
 from gaussian_processes_tpu.models.gaussian import GaussianKernel
 from gaussian_processes_tpu.models.periodic import PeriodicKernel
+from gaussian_processes_tpu.models.matern import Matern32Kernel, Matern52Kernel
+from gaussian_processes_tpu.models.rq import RationalQuadraticKernel
 from gaussian_processes_tpu.models.gp import (
     GPPosterior,
     build_kxx,
     fit,
     predict,
     predict_diag,
+    sample_posterior,
     log_marginal_likelihood,
     log_marginal_value_and_grad,
     log_marginal_hessian,
@@ -19,11 +22,15 @@ __all__ = [
     "pairwise_diff",
     "GaussianKernel",
     "PeriodicKernel",
+    "Matern32Kernel",
+    "Matern52Kernel",
+    "RationalQuadraticKernel",
     "GPPosterior",
     "build_kxx",
     "fit",
     "predict",
     "predict_diag",
+    "sample_posterior",
     "log_marginal_likelihood",
     "log_marginal_value_and_grad",
     "log_marginal_hessian",

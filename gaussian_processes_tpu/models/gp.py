@@ -146,6 +146,22 @@ def predict_diag(post: GPPosterior, xo) -> Tuple[jax.Array, jax.Array]:
     return mean, var
 
 
+def sample_posterior(
+    post: GPPosterior, xo, key: jax.Array, n_samples: int = 1, jitter: float = 1e-9
+) -> jax.Array:
+    """Draw function samples f(xo) ~ posterior, shape (n_samples, m).
+
+    Uses the predictive Cholesky; the tiny jitter keeps the factor of the
+    (often numerically rank-deficient) predictive covariance defined.
+    """
+    xo = jnp.asarray(xo)
+    mean, cov = predict(post, xo)
+    m = xo.shape[0]
+    Lc = jnp.linalg.cholesky(cov + jitter * jnp.eye(m, dtype=cov.dtype))
+    eps = jax.random.normal(key, (n_samples, m), dtype=cov.dtype)
+    return mean[None, :] + eps @ Lc.T
+
+
 def log_marginal_likelihood(kernel: Kernel, x, y, noise, jitter=0.0) -> jax.Array:
     """log p(y | x, theta) — the scalar the MLE/NUTS layers differentiate."""
     x = jnp.asarray(x)

@@ -5,9 +5,17 @@ extensions; the TPU-native equivalents live here.
 """
 
 from gaussian_processes_tpu.ops.pairwise import (
+    pairwise_hessian,
+    pairwise_jacobian,
     pairwise_matrix,
     pairwise_matrix_reference,
 )
 from gaussian_processes_tpu.ops import host
 
-__all__ = ["pairwise_matrix", "pairwise_matrix_reference", "host"]
+__all__ = [
+    "pairwise_hessian",
+    "pairwise_jacobian",
+    "pairwise_matrix",
+    "pairwise_matrix_reference",
+    "host",
+]

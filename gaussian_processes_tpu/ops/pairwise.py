@@ -122,6 +122,94 @@ def pairwise_matrix(
     )
 
 
+def _jac_tile_body(kernel_cls, params_ref, x1_ref, x2_ref, out_ref):
+    P = len(kernel_cls.param_names)
+    params = [params_ref[k] for k in range(P)]
+    d = x1_ref[:] - x2_ref[:]
+    out_ref[:] = jnp.stack(kernel_cls.jac_fn(d, *params))
+
+
+def _hess_tile_body(kernel_cls, params_ref, x1_ref, x2_ref, out_ref):
+    P = len(kernel_cls.param_names)
+    params = [params_ref[k] for k in range(P)]
+    d = x1_ref[:] - x2_ref[:]
+    tri = kernel_cls.hess_fn(d, *params)
+    idx = {}
+    it = iter(range(len(tri)))
+    for i in range(P):
+        for j in range(i, P):
+            idx[(i, j)] = next(it)
+    rows = [
+        jnp.stack([tri[idx[(min(i, j), max(i, j))]] for j in range(P)])
+        for i in range(P)
+    ]
+    out_ref[:] = jnp.stack(rows)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kernel_cls", "order", "block", "interpret")
+)
+def _pairwise_deriv(kernel_cls, params, x1, x2, *, order, block, interpret):
+    n, m = x1.shape[0], x2.shape[0]
+    bm, bn = block
+    dtype = x1.dtype
+    P = len(kernel_cls.param_names)
+    grid = (pl.cdiv(n, bm), pl.cdiv(m, bn))
+    if order == 1:
+        body = functools.partial(_jac_tile_body, kernel_cls)
+        out_shape = jax.ShapeDtypeStruct((P, n, m), dtype)
+        out_spec = pl.BlockSpec(
+            (P, bm, bn), lambda i, j: (0, i, j), memory_space=pltpu.VMEM
+        )
+    else:
+        body = functools.partial(_hess_tile_body, kernel_cls)
+        out_shape = jax.ShapeDtypeStruct((P, P, n, m), dtype)
+        out_spec = pl.BlockSpec(
+            (P, P, bm, bn), lambda i, j: (0, 0, i, j), memory_space=pltpu.VMEM
+        )
+    return pl.pallas_call(
+        body,
+        out_shape=out_shape,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_spec,
+        interpret=interpret,
+    )(params, x1[:, None], x2[None, :])
+
+
+def pairwise_jacobian(
+    kernel: Kernel, x1, x2, *, block=(256, 256), interpret: Optional[bool] = None
+) -> jax.Array:
+    """Tiled dK/dtheta, (P, n, m) — Pallas twin of ``Kernel.jacobian``
+    (the reference's second Cython hot loop, SURVEY.md §4.3)."""
+    x1 = jnp.asarray(x1)
+    x2 = jnp.asarray(x2)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _pairwise_deriv(
+        type(kernel), kernel.params.astype(x1.dtype), x1, x2,
+        order=1, block=block, interpret=interpret,
+    )
+
+
+def pairwise_hessian(
+    kernel: Kernel, x1, x2, *, block=(256, 256), interpret: Optional[bool] = None
+) -> jax.Array:
+    """Tiled d2K/dtheta2, (P, P, n, m) — Pallas twin of ``Kernel.hessian``."""
+    x1 = jnp.asarray(x1)
+    x2 = jnp.asarray(x2)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _pairwise_deriv(
+        type(kernel), kernel.params.astype(x1.dtype), x1, x2,
+        order=2, block=block, interpret=interpret,
+    )
+
+
 def pairwise_matrix_reference(kernel: Kernel, x1, x2, *, noise=None, jitter=0.0):
     """Pure-jnp twin of ``pairwise_matrix`` (the test oracle)."""
     K = kernel(jnp.asarray(x1), jnp.asarray(x2))

@@ -125,14 +125,22 @@ def make_kernel(cfg: KernelConfig):
     import jax.numpy as jnp
 
     from gaussian_processes_tpu.models.gaussian import GaussianKernel
+    from gaussian_processes_tpu.models.matern import Matern32Kernel, Matern52Kernel
     from gaussian_processes_tpu.models.periodic import PeriodicKernel
+    from gaussian_processes_tpu.models.rq import RationalQuadraticKernel
 
+    h, w = jnp.asarray(cfg.h), jnp.asarray(cfg.w)
     if cfg.family == "se":
-        return GaussianKernel(h=jnp.asarray(cfg.h), w=jnp.asarray(cfg.w))
+        return GaussianKernel(h=h, w=w)
     if cfg.family == "periodic":
-        return PeriodicKernel(
-            h=jnp.asarray(cfg.h), w=jnp.asarray(cfg.w), p=jnp.asarray(cfg.p)
-        )
+        return PeriodicKernel(h=h, w=w, p=jnp.asarray(cfg.p))
+    if cfg.family == "matern32":
+        return Matern32Kernel(h=h, w=w)
+    if cfg.family == "matern52":
+        return Matern52Kernel(h=h, w=w)
+    if cfg.family == "rq":
+        # reuse the third slot (p) as the RQ mixture parameter
+        return RationalQuadraticKernel(h=h, w=w, a=jnp.asarray(cfg.p))
     raise ValueError(f"unknown kernel family: {cfg.family!r}")
 
 

@@ -166,3 +166,23 @@ def test_jitter_stabilizes_low_noise():
     post = fit(kern, x, y, 0.0, jitter=1e-8)
     assert np.isfinite(np.asarray(post.log_marginal))
     assert np.all(np.isfinite(np.asarray(post.L)))
+
+
+def test_sample_posterior_moments():
+    from gaussian_processes_tpu import sample_posterior
+
+    rng = np.random.default_rng(5)
+    x, y = make_xy(rng, n=30)
+    kernel = GaussianKernel(h=jnp.asarray(1.0), w=jnp.asarray(0.7))
+    post = fit(kernel, x, y, 0.2)
+    xo = make_xo(12)
+    draws = sample_posterior(post, xo, jax.random.key(0), n_samples=4000,
+                             jitter=1e-10)
+    mean, cov = predict(post, xo)
+    np.testing.assert_allclose(
+        np.asarray(draws).mean(0), np.asarray(mean), atol=4 * float(
+            np.sqrt(np.max(np.asarray(cov).diagonal()) / 4000)) * 2
+    )
+    np.testing.assert_allclose(
+        np.asarray(draws).var(0), np.asarray(cov).diagonal(), rtol=0.2, atol=1e-4
+    )

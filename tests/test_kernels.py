@@ -12,10 +12,17 @@ import jax
 import jax.numpy as jnp
 import sympy as sp
 
-from gaussian_processes_tpu.models import GaussianKernel, PeriodicKernel
+from gaussian_processes_tpu.models import (
+    GaussianKernel,
+    Matern32Kernel,
+    Matern52Kernel,
+    PeriodicKernel,
+    RationalQuadraticKernel,
+)
 from gaussian_processes_tpu.utils.testing import OPT, approx_deriv, rand_params
 
-KERNELS = [GaussianKernel, PeriodicKernel]
+KERNELS = [GaussianKernel, PeriodicKernel, Matern32Kernel,
+           Matern52Kernel, RationalQuadraticKernel]
 
 
 def make_kernel(cls, theta):

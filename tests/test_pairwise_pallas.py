@@ -61,3 +61,26 @@ def test_pairwise_f32():
     want = pairwise_matrix_reference(kernel, x, x)
     assert got.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+@pytest.mark.parametrize("kernel", _kernels(), ids=["se", "periodic"])
+def test_pairwise_jacobian_matches_analytic(kernel):
+    from gaussian_processes_tpu.ops.pairwise import pairwise_jacobian
+
+    rng = np.random.default_rng(3)
+    x1 = jnp.asarray(np.sort(rng.uniform(-3, 3, 100)))
+    x2 = jnp.asarray(np.sort(rng.uniform(-3, 3, 70)))
+    got = pairwise_jacobian(kernel, x1, x2, block=(8, 128), interpret=True)
+    want = kernel.jacobian(x1, x2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-12)
+
+
+@pytest.mark.parametrize("kernel", _kernels(), ids=["se", "periodic"])
+def test_pairwise_hessian_matches_analytic(kernel):
+    from gaussian_processes_tpu.ops.pairwise import pairwise_hessian
+
+    rng = np.random.default_rng(4)
+    x1 = jnp.asarray(np.sort(rng.uniform(-3, 3, 72)))
+    got = pairwise_hessian(kernel, x1, x1, block=(8, 128), interpret=True)
+    want = kernel.hessian(x1, x1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-12)
