@@ -49,13 +49,15 @@ def main_nuts():
     # warmup (and compile) once, then time pure collection
     from gaussian_processes_tpu.inference import collect, warmup
 
+    # chunked dispatches: a single long device execution trips the dev
+    # tunnel's watchdog at this problem size (semantics are unchanged)
     state = warmup(log_post, init, k2, num_warmup=200, max_depth=8,
-                   init_step_size=0.05)
+                   init_step_size=0.05, chunk_size=10)
     jax.block_until_ready(state.chains.z)
-    r = collect(log_post, state, 1, max_depth=8)  # compile collect
+    r = collect(log_post, state, 10, max_depth=8, chunk_size=10)  # compile
     jax.block_until_ready(r.positions)
     t0 = time.perf_counter()
-    r = collect(log_post, state, n_samp, max_depth=8)
+    r = collect(log_post, state, n_samp, max_depth=8, chunk_size=10)
     jax.block_until_ready(r.positions)
     wall = time.perf_counter() - t0
     sps = n_samp * n_chains / wall
@@ -123,7 +125,19 @@ def main():
 
 
 if __name__ == "__main__":
-    if MODE == "nuts":
-        main_nuts()
+    # the TPU tunnel occasionally throws transient UNAVAILABLE /
+    # RESOURCE_EXHAUSTED device errors; retry before giving up
+    last_err = None
+    for attempt in range(3):
+        try:
+            if MODE == "nuts":
+                main_nuts()
+            else:
+                main()
+            break
+        except Exception as e:  # noqa: BLE001 - deliberate broad retry
+            last_err = e
+            print(f"bench attempt {attempt + 1} failed: {e!r}", file=sys.stderr)
+            time.sleep(5)
     else:
-        main()
+        raise last_err

@@ -33,6 +33,7 @@ from gaussian_processes_tpu.models.gaussian import GaussianKernel
 from gaussian_processes_tpu.models.periodic import PeriodicKernel
 from gaussian_processes_tpu.models.matern import Matern32Kernel, Matern52Kernel
 from gaussian_processes_tpu.models.rq import RationalQuadraticKernel
+from gaussian_processes_tpu.models.composite import ProductKernel, SumKernel
 from gaussian_processes_tpu.models.gp import (
     GPPosterior,
     build_kxx,
@@ -40,6 +41,7 @@ from gaussian_processes_tpu.models.gp import (
     predict,
     predict_diag,
     sample_posterior,
+    log_predictive_density,
     log_marginal_likelihood,
     log_marginal_value_and_grad,
     log_marginal_hessian,
@@ -62,12 +64,15 @@ __all__ = [
     "Matern32Kernel",
     "Matern52Kernel",
     "RationalQuadraticKernel",
+    "SumKernel",
+    "ProductKernel",
     "GPPosterior",
     "build_kxx",
     "fit",
     "predict",
     "predict_diag",
     "sample_posterior",
+    "log_predictive_density",
     "log_marginal_likelihood",
     "log_marginal_value_and_grad",
     "log_marginal_hessian",

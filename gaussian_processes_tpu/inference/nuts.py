@@ -530,6 +530,7 @@ def collect(
     *,
     max_depth: int = 10,
     max_delta_energy: float = 1000.0,
+    chunk_size: int | None = None,
 ) -> NUTSResult:
     """Non-adaptive collection from an existing ``SamplerState``.
 
@@ -537,6 +538,12 @@ def collect(
     plain pytree, so ``utils.checkpoint.save_pytree(path, result.final)``
     then ``collect(fn, load_pytree(path, like), k)`` continues the chain
     bit-identically (resume invariance is tested).
+
+    ``chunk_size`` splits the scan into multiple device dispatches of at
+    most that many transitions.  Semantically identical (the carry is the
+    same pytree); use it when a single device execution would run long
+    enough to trip external watchdogs (e.g. a tunneled dev chip), or to
+    interleave host-side logging/checkpointing.
     """
 
     def cstep(s, _):
@@ -552,9 +559,23 @@ def collect(
         )
         return s, out
 
-    state, (zs, lps, accs, nls, divs) = lax.scan(
-        cstep, state, None, length=num_samples
-    )
+    def run_scan(s, length):
+        return lax.scan(cstep, s, None, length=length)
+
+    if chunk_size is None or chunk_size >= num_samples:
+        state, (zs, lps, accs, nls, divs) = run_scan(state, num_samples)
+    else:
+        run_j = jax.jit(run_scan, static_argnums=1)
+        chunks = []
+        done = 0
+        while done < num_samples:
+            step = min(chunk_size, num_samples - done)
+            state, out = run_j(state, step)
+            chunks.append(out)
+            done += step
+        zs, lps, accs, nls, divs = (
+            jnp.concatenate([c[i] for c in chunks]) for i in range(5)
+        )
     return NUTSResult(
         positions=zs,
         log_probs=lps,
@@ -579,8 +600,13 @@ def warmup(
     max_delta_energy: float = 1000.0,
     reduce_mean=_default_reduce_mean,
     reduce_welford=_default_reduce_welford,
+    chunk_size: int | None = None,
 ) -> SamplerState:
-    """Run the adaptive warmup alone; pair with ``collect`` to sample."""
+    """Run the adaptive warmup alone; pair with ``collect`` to sample.
+
+    ``chunk_size`` as in ``collect``: split the warmup scan into several
+    shorter device executions with identical semantics.
+    """
     state = init_sampler_state(log_prob_fn, init_position, key, init_step_size)
     schedule = adapt.build_warmup_schedule(num_warmup)
 
@@ -597,7 +623,19 @@ def warmup(
         )
         return s, None
 
-    state, _ = lax.scan(wstep, state, schedule, length=num_warmup)
+    if chunk_size is None or chunk_size >= num_warmup:
+        state, _ = lax.scan(wstep, state, schedule, length=num_warmup)
+        return state
+
+    run_j = jax.jit(
+        lambda s, flags: lax.scan(wstep, s, flags)[0]
+    )
+    done = 0
+    while done < num_warmup:
+        step = min(chunk_size, num_warmup - done)
+        flags = jax.tree.map(lambda a: a[done : done + step], schedule)
+        state = run_j(state, flags)
+        done += step
     return state
 
 
@@ -614,6 +652,7 @@ def sample_nuts(
     max_delta_energy: float = 1000.0,
     reduce_mean=_default_reduce_mean,
     reduce_welford=_default_reduce_welford,
+    chunk_size: int | None = None,
 ) -> NUTSResult:
     """Windowed-warmup NUTS over ``C`` vectorized chains.
 
@@ -637,6 +676,7 @@ def sample_nuts(
         max_delta_energy=max_delta_energy,
         reduce_mean=reduce_mean,
         reduce_welford=reduce_welford,
+        chunk_size=chunk_size,
     )
     return collect(
         log_prob_fn,
@@ -644,4 +684,5 @@ def sample_nuts(
         num_samples,
         max_depth=max_depth,
         max_delta_energy=max_delta_energy,
+        chunk_size=chunk_size,
     )

@@ -146,6 +146,27 @@ def predict_diag(post: GPPosterior, xo) -> Tuple[jax.Array, jax.Array]:
     return mean, var
 
 
+def log_predictive_density(post: GPPosterior, xo, yo) -> jax.Array:
+    """log p(yo | xo, x, y, theta) under the posterior predictive.
+
+    Scores held-out observations: predictive covariance of f(xo) plus the
+    observation noise s^2 on the diagonal, evaluated as a multivariate
+    normal log density via its Cholesky factor.
+    """
+    xo = jnp.asarray(xo)
+    yo = jnp.asarray(yo)
+    mean, cov = predict(post, xo)
+    m = xo.shape[0]
+    s2 = jnp.square(post.noise).astype(cov.dtype)
+    Lc = jnp.linalg.cholesky(cov + s2 * jnp.eye(m, dtype=cov.dtype))
+    r = solve_triangular(Lc, yo - mean, lower=True)
+    return (
+        -0.5 * jnp.dot(r, r)
+        - jnp.sum(jnp.log(jnp.diagonal(Lc)))
+        - 0.5 * m * _LOG_2PI
+    )
+
+
 def sample_posterior(
     post: GPPosterior, xo, key: jax.Array, n_samples: int = 1, jitter: float = 1e-9
 ) -> jax.Array:

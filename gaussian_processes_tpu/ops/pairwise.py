@@ -100,6 +100,13 @@ def pairwise_matrix(
     built by the Pallas tile kernel.  ``interpret`` defaults to True off
     TPU so the same code path is testable on CPU.
     """
+    from gaussian_processes_tpu.models.composite import _CompositeKernel
+
+    if isinstance(kernel, _CompositeKernel):
+        raise TypeError(
+            "the Pallas tile builder needs a leaf kernel (static k_fn); "
+            "evaluate composite kernels via kernel(x1, x2)"
+        )
     x1 = jnp.asarray(x1)
     x2 = jnp.asarray(x2)
     if interpret is None:

@@ -186,3 +186,21 @@ def test_sample_posterior_moments():
     np.testing.assert_allclose(
         np.asarray(draws).var(0), np.asarray(cov).diagonal(), rtol=0.2, atol=1e-4
     )
+
+
+def test_log_predictive_density_matches_mvn_oracle():
+    from gaussian_processes_tpu import log_predictive_density
+    import scipy.stats as sst
+
+    rng = np.random.default_rng(7)
+    x, y = make_xy(rng, n=25)
+    xo, yo_truth = make_xo(10), None
+    kernel = GaussianKernel(h=jnp.asarray(1.0), w=jnp.asarray(0.7))
+    post = fit(kernel, x, y, 0.2)
+    mean, cov = predict(post, xo)
+    yo = np.asarray(mean) + 0.1 * rng.standard_normal(10)
+    lpd = float(log_predictive_density(post, xo, yo))
+    oracle = sst.multivariate_normal(
+        np.asarray(mean), np.asarray(cov) + 0.04 * np.eye(10), allow_singular=False
+    ).logpdf(yo)
+    np.testing.assert_allclose(lpd, oracle, rtol=1e-9)

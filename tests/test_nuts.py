@@ -163,3 +163,19 @@ def test_sampler_deterministic_given_key():
     r1 = sample_nuts(lp, init, jax.random.key(7), num_warmup=50, num_samples=30, max_depth=6)
     r2 = sample_nuts(lp, init, jax.random.key(7), num_warmup=50, num_samples=30, max_depth=6)
     np.testing.assert_array_equal(np.asarray(r1.positions), np.asarray(r2.positions))
+
+
+def test_chunked_scans_bit_identical():
+    # chunk_size splits device executions without changing semantics
+    from gaussian_processes_tpu.inference.nuts import collect, warmup
+
+    lp = _mvn_logprob(np.eye(2))
+    init = jnp.zeros((3, 2), jnp.float64)
+    s1 = warmup(lp, init, jax.random.key(0), 37, max_depth=5)
+    s2 = warmup(lp, init, jax.random.key(0), 37, max_depth=5, chunk_size=10)
+    np.testing.assert_array_equal(np.asarray(s1.chains.z), np.asarray(s2.chains.z))
+    r1 = collect(lp, s1, 23, max_depth=5)
+    r2 = collect(lp, s2, 23, max_depth=5, chunk_size=7)
+    np.testing.assert_array_equal(
+        np.asarray(r1.positions), np.asarray(r2.positions)
+    )
