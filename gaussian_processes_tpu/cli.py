@@ -125,6 +125,7 @@ def run_config(cfg) -> dict:
                     num_warmup=ncfg.num_warmup, num_samples=ncfg.num_samples,
                     max_depth=ncfg.max_depth, target_accept=ncfg.target_accept,
                     init_step_size=ncfg.init_step_size,
+                    chunk_size=ncfg.chunk_size,
                 )
             jax.block_until_ready(res.positions)
         wall = _time.perf_counter() - t0

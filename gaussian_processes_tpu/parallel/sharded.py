@@ -88,6 +88,14 @@ def sample_nuts_sharded(
     """
     if mesh is None:
         mesh = make_chain_mesh(axis=axis)
+    if nuts_kwargs.get("chunk_size") is not None:
+        raise ValueError(
+            "chunk_size is a host-level dispatch knob and cannot apply "
+            "inside shard_map (it would unroll into one giant program); "
+            "chunk sharded runs by calling sample_nuts_sharded repeatedly "
+            "from its returned state instead"
+        )
+    nuts_kwargs.pop("chunk_size", None)
     n_dev = mesh.shape[axis]
     C = init_position.shape[0]
     if C % n_dev != 0:

@@ -56,6 +56,9 @@ class NUTSConfig:
     init_step_size: float = 0.05
     prior_std: float = 1.5
     seed: int = 0
+    #: split the sampling scans into device dispatches of at most this
+    #: many transitions (None = one execution); semantics identical
+    chunk_size: Optional[int] = 25
 
 
 @dataclasses.dataclass(frozen=True)

@@ -90,3 +90,14 @@ def test_sharded_nuts_wrong_chain_count_raises():
     init = jnp.zeros((10, 3))
     with pytest.raises(ValueError, match="divide"):
         sample_nuts_sharded(log_post, init, jax.random.key(0), mesh=make_chain_mesh(8))
+
+
+def test_sharded_nuts_rejects_chunk_size():
+    k0, x, y = _problem()
+    log_post = make_log_posterior(k0, x, y)
+    init = jnp.zeros((16, 3))
+    with pytest.raises(ValueError, match="chunk_size"):
+        sample_nuts_sharded(
+            log_post, init, jax.random.key(0),
+            mesh=make_chain_mesh(8), chunk_size=5,
+        )
