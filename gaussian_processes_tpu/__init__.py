@@ -45,6 +45,7 @@ from gaussian_processes_tpu.models.gp import (
     log_marginal_likelihood,
     log_marginal_value_and_grad,
     log_marginal_hessian,
+    log_marginal_all,
     likelihood_value_grad_hessian,
 )
 from gaussian_processes_tpu.models.gp_object import GP
@@ -76,6 +77,7 @@ __all__ = [
     "log_marginal_likelihood",
     "log_marginal_value_and_grad",
     "log_marginal_hessian",
+    "log_marginal_all",
     "likelihood_value_grad_hessian",
     "GP",
     "fit_mle",

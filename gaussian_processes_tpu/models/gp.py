@@ -210,42 +210,24 @@ def _full_hessian(kernel: Kernel, x, noise, dtype):
     return out
 
 
-def log_marginal_value_and_grad(kernel: Kernel, x, y, noise, jitter=0.0):
-    """Analytic (log p, d log p / d theta) with theta = (kernel params..., s).
-
-    Reference path: SURVEY.md §4.3 (gp.dloglh_dtheta).  One Cholesky, one
-    explicit K^-1 (for the trace terms), P+1 quadratic forms.
-    """
-    x = jnp.asarray(x)
-    y = jnp.asarray(y)
-    noise = jnp.asarray(noise)
+def _grad_pieces(kernel, x, y, noise, jitter):
+    """One factorization shared by the gradient and Hessian assemblies."""
     L, alpha, lml = _chol_pieces(kernel, x, y, noise, jitter)
     n = x.shape[0]
     inv_L = solve_triangular(L, jnp.eye(n, dtype=L.dtype), lower=True)
     inv_K = inv_L.T @ inv_L
     J = _full_jacobian(kernel, x, noise, L.dtype)
+    return L, alpha, lml, inv_K, J
+
+
+def _grad_from_pieces(alpha, inv_K, J):
     quad = jnp.einsum("i,pij,j->p", alpha, J, alpha)
     trace = jnp.einsum("ij,pji->p", inv_K, J)
-    grad = 0.5 * (quad - trace)
-    return lml, grad
+    return 0.5 * (quad - trace)
 
 
-def log_marginal_hessian(kernel: Kernel, x, y, noise, jitter=0.0):
-    """Analytic d2 log p / d theta2, shape (P+1, P+1).
-
-    Reference path: the gp.d2lh_dtheta2 assembly (SURVEY.md §4.3), written
-    as batched einsums over the stacked kernel Jacobian/Hessian tensors.
-    """
-    x = jnp.asarray(x)
-    y = jnp.asarray(y)
-    noise = jnp.asarray(noise)
-    L, alpha, _ = _chol_pieces(kernel, x, y, noise, jitter)
-    n = x.shape[0]
-    inv_L = solve_triangular(L, jnp.eye(n, dtype=L.dtype), lower=True)
-    inv_K = inv_L.T @ inv_L
-    J = _full_jacobian(kernel, x, noise, L.dtype)          # (T, n, n)
-    H = _full_hessian(kernel, x, noise, L.dtype)           # (T, T, n, n)
-
+def _hessian_from_pieces(kernel, x, noise, alpha, inv_K, J, dtype):
+    H = _full_hessian(kernel, x, noise, dtype)             # (T, T, n, n)
     Ja = jnp.einsum("pij,j->pi", J, alpha)                 # K_p alpha
     KiJa = jnp.einsum("ij,pj->pi", inv_K, Ja)              # K^-1 K_p alpha
     W = jnp.einsum("ij,pjk->pik", inv_K, J)                # K^-1 K_p
@@ -258,13 +240,51 @@ def log_marginal_hessian(kernel: Kernel, x, y, noise, jitter=0.0):
     return term1 + term2 + term3 + term4
 
 
+def log_marginal_value_and_grad(kernel: Kernel, x, y, noise, jitter=0.0):
+    """Analytic (log p, d log p / d theta) with theta = (kernel params..., s).
+
+    Reference path: SURVEY.md §4.3 (gp.dloglh_dtheta).  One Cholesky, one
+    explicit K^-1 (for the trace terms), P+1 quadratic forms.
+    """
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    noise = jnp.asarray(noise)
+    _, alpha, lml, inv_K, J = _grad_pieces(kernel, x, y, noise, jitter)
+    return lml, _grad_from_pieces(alpha, inv_K, J)
+
+
+def log_marginal_hessian(kernel: Kernel, x, y, noise, jitter=0.0):
+    """Analytic d2 log p / d theta2, shape (P+1, P+1).
+
+    Reference path: the gp.d2lh_dtheta2 assembly (SURVEY.md §4.3), written
+    as batched einsums over the stacked kernel Jacobian/Hessian tensors.
+    """
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    noise = jnp.asarray(noise)
+    L, alpha, _, inv_K, J = _grad_pieces(kernel, x, y, noise, jitter)
+    return _hessian_from_pieces(kernel, x, noise, alpha, inv_K, J, L.dtype)
+
+
+def log_marginal_all(kernel: Kernel, x, y, noise, jitter=0.0):
+    """(log p, grad, hessian) sharing a single Cholesky/inverse/Jacobian —
+    the memo-cache economy of the reference's GP object (SURVEY.md §4.3)
+    as one pure function."""
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    noise = jnp.asarray(noise)
+    L, alpha, lml, inv_K, J = _grad_pieces(kernel, x, y, noise, jitter)
+    grad = _grad_from_pieces(alpha, inv_K, J)
+    Hl = _hessian_from_pieces(kernel, x, noise, alpha, inv_K, J, L.dtype)
+    return lml, grad, Hl
+
+
 def likelihood_value_grad_hessian(kernel: Kernel, x, y, noise, jitter=0.0):
     """(lh, dlh/dtheta, d2lh/dtheta2) for the *non-log* marginal likelihood.
 
     Parity with the reference's lh / dlh_dtheta / d2lh_dtheta2 properties:
     lh = exp(loglh); dlh = lh * dloglh; d2lh = lh (dloglh dloglh^T + d2loglh).
     """
-    lml, g = log_marginal_value_and_grad(kernel, x, y, noise, jitter)
-    Hl = log_marginal_hessian(kernel, x, y, noise, jitter)
+    lml, g, Hl = log_marginal_all(kernel, x, y, noise, jitter)
     lh = jnp.exp(lml)
     return lh, lh * g, lh * (jnp.outer(g, g) + Hl)

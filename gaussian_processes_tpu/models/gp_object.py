@@ -184,8 +184,15 @@ class GP:
 
     @memoprop
     def d2loglh_dtheta2(self):
-        """Analytic d2 log p / d theta2, shape (P+1, P+1)."""
-        return _hess_jit(self._K, self._x, self._y, self._s, self._jitter)
+        """Analytic d2 log p / d theta2, shape (P+1, P+1).
+
+        Computed jointly with the gradient from one factorization
+        (models.gp.log_marginal_all); the gradient lands in the memo
+        cache as a side effect, matching the reference's cache economy.
+        """
+        _, g, H = _all_jit(self._K, self._x, self._y, self._s, self._jitter)
+        self._memo.setdefault("dloglh_dtheta", g)
+        return H
 
     @memoprop
     def d2lh_dtheta2(self):
@@ -263,6 +270,11 @@ def _vg_jit(kernel, x, y, s, jitter):
 @jax.jit
 def _hess_jit(kernel, x, y, s, jitter):
     return _core.log_marginal_hessian(kernel, x, y, s, jitter)
+
+
+@jax.jit
+def _all_jit(kernel, x, y, s, jitter):
+    return _core.log_marginal_all(kernel, x, y, s, jitter)
 
 
 @jax.jit

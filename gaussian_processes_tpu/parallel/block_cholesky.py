@@ -38,6 +38,7 @@ round-off; tests compare against the dense path on an 8-device CPU mesh.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import Tuple
 
@@ -50,7 +51,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from gaussian_processes_tpu.models.base import Kernel
 
-_LOG_2PI = 1.8378770664093453
+from gaussian_processes_tpu.models.gp import _LOG_2PI
 
 
 def _padded_dims(n: int, n_dev: int, block_size: int) -> Tuple[int, int]:
@@ -163,6 +164,87 @@ def _backward_solve_body(axis, d, A, own_g, m, D, i, z):
     return lax.dynamic_update_index_in_dim(z, zk, k, 0)
 
 
+@functools.lru_cache(maxsize=64)
+def _fit_program(mesh, axis, n, b, m, m_loc, D, jitter):
+    """Compiled factor+solve program, cached per (mesh, geometry, jitter).
+
+    The kernel rides in as a traced pytree argument, so repeated fits
+    with different hyperparameters reuse one compilation.
+    """
+    n_pad = m * b
+
+    def local_fn(kernel, x_pad, y_pad, noise):
+        d = lax.axis_index(axis)
+        own_g = d + jnp.arange(m_loc) * D
+
+        A = _build_local_blocks(kernel, x_pad, own_g, n, b, m, noise, jitter)
+        A = lax.fori_loop(
+            0, m, partial(_factor_body, axis, d, own_g, m, D), A
+        )
+
+        # log|K|^(1/2) = sum log diag(L): owned diagonal blocks only
+        diag_blocks = jax.vmap(
+            lambda l: lax.dynamic_index_in_dim(A[l], own_g[l], 0, keepdims=False)
+        )(jnp.arange(m_loc))
+        logdiag = lax.psum(
+            jnp.sum(jnp.log(jax.vmap(jnp.diagonal)(diag_blocks))), axis
+        )
+
+        # alpha = K^-1 y via two blocked substitutions (padded rows pass
+        # through the identity blocks untouched)
+        rhs = y_pad.reshape(m, b, 1)
+        ybar = lax.fori_loop(
+            0, m, partial(_forward_solve_body, axis, d, A, m, D, b), rhs
+        )
+        z = lax.fori_loop(
+            0, m, partial(_backward_solve_body, axis, d, A, own_g, m, D), ybar
+        )
+        alpha = z.reshape(n_pad)[:n]
+
+        lml = (
+            -0.5 * jnp.dot(y_pad.reshape(-1)[:n], alpha)
+            - logdiag
+            - 0.5 * n * _LOG_2PI
+        )
+        return A, alpha, lml
+
+    return jax.jit(
+        jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P()),
+            out_specs=(P(axis), P(), P()),
+            check_vma=False,
+        )
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _predict_program(mesh, axis, mm, b, D, n, r):
+    """Compiled forward-substitution program for predictive variance."""
+    n_pad = mm * b
+
+    def local_fn(A, rhs):
+        d = lax.axis_index(axis)
+        v = lax.fori_loop(
+            0,
+            mm,
+            partial(_forward_solve_body, axis, d, A, mm, D, b),
+            rhs.reshape(mm, b, r),
+        )
+        return v.reshape(n_pad, r)
+
+    return jax.jit(
+        jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(axis), P()),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class BlockCyclicPosterior:
@@ -209,49 +291,8 @@ def fit_blockcyclic(
     x_pad = jnp.zeros(n_pad, x.dtype).at[:n].set(x)
     y_pad = jnp.zeros(n_pad, x.dtype).at[:n].set(y)
 
-    def local_fn(x_pad, y_pad, noise):
-        d = lax.axis_index(axis)
-        own_g = d + jnp.arange(m_loc) * D
-
-        A = _build_local_blocks(kernel, x_pad, own_g, n, b, m, noise, jitter)
-        A = lax.fori_loop(
-            0, m, partial(_factor_body, axis, d, own_g, m, D), A
-        )
-
-        # log|K|^(1/2) = sum log diag(L): owned diagonal blocks only
-        diag_blocks = jax.vmap(
-            lambda l: lax.dynamic_index_in_dim(A[l], own_g[l], 0, keepdims=False)
-        )(jnp.arange(m_loc))
-        logdiag = lax.psum(
-            jnp.sum(jnp.log(jax.vmap(jnp.diagonal)(diag_blocks))), axis
-        )
-
-        # alpha = K^-1 y via two blocked substitutions (padded rows pass
-        # through the identity blocks untouched)
-        rhs = y_pad.reshape(m, b, 1)
-        ybar = lax.fori_loop(
-            0, m, partial(_forward_solve_body, axis, d, A, m, D, b), rhs
-        )
-        z = lax.fori_loop(
-            0, m, partial(_backward_solve_body, axis, d, A, own_g, m, D), ybar
-        )
-        alpha = z.reshape(n_pad)[:n]
-
-        lml = (
-            -0.5 * jnp.dot(y_pad.reshape(-1)[:n], alpha)
-            - logdiag
-            - 0.5 * n * _LOG_2PI
-        )
-        return A, alpha, lml
-
-    fn = jax.shard_map(
-        local_fn,
-        mesh=mesh,
-        in_specs=(P(), P(), P()),
-        out_specs=(P(axis), P(), P()),
-        check_vma=False,
-    )
-    A, alpha, lml = jax.jit(fn)(x_pad, y_pad, noise)
+    fn = _fit_program(mesh, axis, n, b, m, m_loc, D, float(jitter))
+    A, alpha, lml = fn(kernel, x_pad, y_pad, noise)
     return BlockCyclicPosterior(
         kernel=kernel,
         x=x,
@@ -287,25 +328,8 @@ def predict_diag_blockcyclic(
     mean = Kxox @ post.alpha
 
     rhs = jnp.zeros((n_pad, r), Kxox.dtype).at[:n].set(Kxox.T)
-
-    def local_fn(A, rhs):
-        d = lax.axis_index(axis)
-        v = lax.fori_loop(
-            0,
-            mm,
-            partial(_forward_solve_body, axis, d, A, mm, D, b),
-            rhs.reshape(mm, b, r),
-        )
-        return v.reshape(n_pad, r)
-
-    fn = jax.shard_map(
-        local_fn,
-        mesh=mesh,
-        in_specs=(P(axis), P()),
-        out_specs=P(),
-        check_vma=False,
-    )
-    v = jax.jit(fn)(post.L_blocks, rhs)[:n]
+    fn = _predict_program(mesh, axis, mm, b, D, n, r)
+    v = fn(post.L_blocks, rhs)[:n]
     kd = post.kernel.k_fn(jnp.zeros_like(xo), *post.kernel._param_values())
     var = kd - jnp.sum(v * v, axis=0)
     return mean, var

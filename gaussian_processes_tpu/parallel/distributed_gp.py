@@ -24,9 +24,7 @@ from jax.scipy.linalg import solve_triangular
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gaussian_processes_tpu.models.base import Kernel
-from gaussian_processes_tpu.models.gp import GPPosterior, build_kxx
-
-_LOG_2PI = 1.8378770664093453
+from gaussian_processes_tpu.models.gp import _LOG_2PI, GPPosterior, build_kxx
 
 
 def make_grid_mesh(n_devices: int | None = None, axes=("i", "j")) -> Mesh:
@@ -60,33 +58,47 @@ def fit_sharded(
     factorization proceeds with XLA collectives instead of a gather to
     one chip.
     """
-    grid = NamedSharding(mesh, P(*axes))
     repl = NamedSharding(mesh, P())
-
-    @partial(jax.jit, out_shardings=None)
-    def _fit(kernel, x, y, noise):
-        K = build_kxx(kernel, x, noise, jitter)
-        K = jax.lax.with_sharding_constraint(K, grid)
-        L = jnp.linalg.cholesky(K)
-        L = jax.lax.with_sharding_constraint(L, grid)
-        alpha = solve_triangular(
-            L.T, solve_triangular(L, y, lower=True), lower=False
-        )
-        n = x.shape[0]
-        lml = (
-            -0.5 * jnp.dot(y, alpha)
-            - jnp.sum(jnp.log(jnp.diagonal(L)))
-            - 0.5 * n * _LOG_2PI
-        )
-        return L, alpha, lml
-
     x = jax.device_put(jnp.asarray(x), repl)
     y = jax.device_put(jnp.asarray(y), repl)
     noise = jnp.asarray(noise)
-    L, alpha, lml = _fit(kernel, x, y, noise)
+    L, alpha, lml = _fit_jit(kernel, x, y, noise, jitter, mesh, tuple(axes))
     return GPPosterior(
         kernel=kernel, x=x, y=y, noise=noise, L=L, alpha=alpha, log_marginal=lml
     )
+
+
+@partial(jax.jit, static_argnames=("jitter", "mesh", "axes"))
+def _fit_jit(kernel, x, y, noise, jitter, mesh, axes):
+    # module-level jit keyed on (mesh, axes, jitter): repeated fits reuse
+    # the compiled distributed program instead of retracing per call
+    grid = NamedSharding(mesh, P(*axes))
+    K = build_kxx(kernel, x, noise, jitter)
+    K = jax.lax.with_sharding_constraint(K, grid)
+    L = jnp.linalg.cholesky(K)
+    L = jax.lax.with_sharding_constraint(L, grid)
+    alpha = solve_triangular(
+        L.T, solve_triangular(L, y, lower=True), lower=False
+    )
+    n = x.shape[0]
+    lml = (
+        -0.5 * jnp.dot(y, alpha)
+        - jnp.sum(jnp.log(jnp.diagonal(L)))
+        - 0.5 * n * _LOG_2PI
+    )
+    return L, alpha, lml
+
+
+@partial(jax.jit, static_argnames=("mesh", "axes"))
+def _predict_jit(post, xo, mesh, axes):
+    rows = NamedSharding(mesh, P(axes[0], None))
+    Kxox = post.kernel(xo, post.x)
+    Kxox = jax.lax.with_sharding_constraint(Kxox, rows)
+    mean = Kxox @ post.alpha
+    v = solve_triangular(post.L, Kxox.T, lower=True)
+    kd = post.kernel.k_fn(jnp.zeros_like(xo), *post.kernel._param_values())
+    var = kd - jnp.sum(v * v, axis=0)
+    return mean, var
 
 
 def predict_diag_sharded(post: GPPosterior, xo, mesh: Mesh, axes=("i", "j")):
@@ -95,16 +107,4 @@ def predict_diag_sharded(post: GPPosterior, xo, mesh: Mesh, axes=("i", "j")):
     Row-shards K_xo,x over the first mesh axis so the two triangular
     solves and the reductions stay distributed; output is replicated.
     """
-    rows = NamedSharding(mesh, P(axes[0], None))
-
-    @jax.jit
-    def _predict(post, xo):
-        Kxox = post.kernel(xo, post.x)
-        Kxox = jax.lax.with_sharding_constraint(Kxox, rows)
-        mean = Kxox @ post.alpha
-        v = solve_triangular(post.L, Kxox.T, lower=True)
-        kd = post.kernel.k_fn(jnp.zeros_like(xo), *post.kernel._param_values())
-        var = kd - jnp.sum(v * v, axis=0)
-        return mean, var
-
-    return _predict(post, jnp.asarray(xo))
+    return _predict_jit(post, jnp.asarray(xo), mesh, tuple(axes))

@@ -46,10 +46,17 @@ def initialize_cluster(
 
     if not _initialized:
         if coordinator_address and num_processes and num_processes > 1:
+            if process_id is None:
+                # defaulting to 0 on every host would register duplicate
+                # process ids and hang the coordinator
+                raise ValueError(
+                    "multi-process bring-up needs an explicit per-host "
+                    "process_id (or JAX_PROCESS_ID in the environment)"
+                )
             jax.distributed.initialize(
                 coordinator_address=coordinator_address,
                 num_processes=num_processes,
-                process_id=process_id or 0,
+                process_id=process_id,
             )
             _initialized = True
         elif os.environ.get("TPU_WORKER_HOSTNAMES"):

@@ -92,14 +92,16 @@ def sample_nuts_sharded(
         raise ValueError(
             "chunk_size is a host-level dispatch knob and cannot apply "
             "inside shard_map (it would unroll into one giant program); "
-            "chunk sharded runs by calling sample_nuts_sharded repeatedly "
-            "from its returned state instead"
+            "for shorter sharded executions lower num_warmup/num_samples "
+            "per call"
         )
     nuts_kwargs.pop("chunk_size", None)
     n_dev = mesh.shape[axis]
     C = init_position.shape[0]
     if C % n_dev != 0:
-        raise ValueError(f"chains ({C}) must divide devices ({n_dev})")
+        raise ValueError(
+            f"device count ({n_dev}) must evenly divide chains ({C})"
+        )
 
     reduce_mean, reduce_welford = _pooled_reducers(axis)
 

@@ -17,6 +17,7 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 #include <math.h>
+#include <string.h>
 
 /* ---------- helpers ---------- */
 
@@ -24,7 +25,8 @@ static int get_f64(PyObject *obj, Py_buffer *view, int writable) {
     int flags = PyBUF_C_CONTIGUOUS | PyBUF_FORMAT;
     if (writable) flags |= PyBUF_WRITABLE;
     if (PyObject_GetBuffer(obj, view, flags) != 0) return -1;
-    if (view->itemsize != sizeof(double)) {
+    if (view->itemsize != sizeof(double) ||
+        (view->format != NULL && strcmp(view->format, "d") != 0)) {
         PyBuffer_Release(view);
         PyErr_SetString(PyExc_TypeError, "expected float64 arrays");
         return -1;
