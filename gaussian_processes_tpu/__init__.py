@@ -34,6 +34,7 @@ from gaussian_processes_tpu.models.periodic import PeriodicKernel
 from gaussian_processes_tpu.models.matern import Matern32Kernel, Matern52Kernel
 from gaussian_processes_tpu.models.rq import RationalQuadraticKernel
 from gaussian_processes_tpu.models.composite import ProductKernel, SumKernel
+from gaussian_processes_tpu.models.ard import ARDGaussianKernel
 from gaussian_processes_tpu.models.gp import (
     GPPosterior,
     build_kxx,
@@ -67,6 +68,7 @@ __all__ = [
     "RationalQuadraticKernel",
     "SumKernel",
     "ProductKernel",
+    "ARDGaussianKernel",
     "GPPosterior",
     "build_kxx",
     "fit",

@@ -87,6 +87,16 @@ class Kernel(abc.ABC):
     def _param_values(self) -> tuple:
         return tuple(getattr(self, name) for name in self.param_names)
 
+    #: whether the Pallas tile builder can evaluate this kernel (leaf
+    #: kernels with a static elementwise ``k_fn`` over 1-D differences)
+    supports_tiled = True
+
+    def kdiag(self, xo: jax.Array) -> jax.Array:
+        """diag(k(xo, xo)), shape (m,) — k(0) for stationary kernels."""
+        m = xo.shape[0]
+        k0 = self.k_fn(jnp.zeros(()), *self._param_values())
+        return jnp.broadcast_to(k0, (m,))
+
     def __call__(self, x1: jax.Array, x2: jax.Array) -> jax.Array:
         """Covariance matrix K[i, j] = k(x1[i], x2[j]); shape (n, m)."""
         d = pairwise_diff(x1, x2)

@@ -34,6 +34,8 @@ from gaussian_processes_tpu.models.base import Kernel, pairwise_diff
 class _CompositeKernel(Kernel):
     """Shared plumbing: concatenated params over (k1, k2)."""
 
+    supports_tiled = False
+
     @property
     def param_names(self):  # type: ignore[override]
         return tuple(f"k1.{n}" for n in self.k1.param_names) + tuple(

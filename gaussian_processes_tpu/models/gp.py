@@ -141,8 +141,7 @@ def predict_diag(post: GPPosterior, xo) -> Tuple[jax.Array, jax.Array]:
     Kxox = post.kernel(xo, post.x)
     mean = Kxox @ post.alpha
     v = solve_triangular(post.L, Kxox.T, lower=True)
-    kd = post.kernel.k_fn(jnp.zeros_like(xo), *post.kernel._param_values())
-    var = kd - jnp.sum(v * v, axis=0)
+    var = post.kernel.kdiag(xo) - jnp.sum(v * v, axis=0)
     return mean, var
 
 

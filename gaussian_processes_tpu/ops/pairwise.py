@@ -100,12 +100,11 @@ def pairwise_matrix(
     built by the Pallas tile kernel.  ``interpret`` defaults to True off
     TPU so the same code path is testable on CPU.
     """
-    from gaussian_processes_tpu.models.composite import _CompositeKernel
-
-    if isinstance(kernel, _CompositeKernel):
+    if not kernel.supports_tiled:
         raise TypeError(
-            "the Pallas tile builder needs a leaf kernel (static k_fn); "
-            "evaluate composite kernels via kernel(x1, x2)"
+            "the Pallas tile builder needs a leaf kernel (static k_fn "
+            "over 1-D differences); evaluate composite/ARD kernels via "
+            "kernel(x1, x2)"
         )
     x1 = jnp.asarray(x1)
     x2 = jnp.asarray(x2)

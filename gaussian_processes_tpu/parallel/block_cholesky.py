@@ -330,6 +330,5 @@ def predict_diag_blockcyclic(
     rhs = jnp.zeros((n_pad, r), Kxox.dtype).at[:n].set(Kxox.T)
     fn = _predict_program(mesh, axis, mm, b, D, n, r)
     v = fn(post.L_blocks, rhs)[:n]
-    kd = post.kernel.k_fn(jnp.zeros_like(xo), *post.kernel._param_values())
-    var = kd - jnp.sum(v * v, axis=0)
+    var = post.kernel.kdiag(xo) - jnp.sum(v * v, axis=0)
     return mean, var

@@ -96,8 +96,7 @@ def _predict_jit(post, xo, mesh, axes):
     Kxox = jax.lax.with_sharding_constraint(Kxox, rows)
     mean = Kxox @ post.alpha
     v = solve_triangular(post.L, Kxox.T, lower=True)
-    kd = post.kernel.k_fn(jnp.zeros_like(xo), *post.kernel._param_values())
-    var = kd - jnp.sum(v * v, axis=0)
+    var = post.kernel.kdiag(xo) - jnp.sum(v * v, axis=0)
     return mean, var
 
 
