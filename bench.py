@@ -10,8 +10,8 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Env knobs: BENCH_N (default 16384), BENCH_DTYPE (float32), BENCH_MODE
-(fit | nuts — nuts reports hyperparameter samples/s at 64 chains,
-BASELINE.json:9).
+(fit | nuts | chees — the sampler modes report hyperparameter samples/s
+at 64 chains, BASELINE.json:9; chees is the tree-free TPU-first sampler).
 """
 
 import json
@@ -24,6 +24,61 @@ import numpy as np
 N = int(os.environ.get("BENCH_N", 16384))
 DTYPE = os.environ.get("BENCH_DTYPE", "float32")
 MODE = os.environ.get("BENCH_MODE", "fit")
+
+
+def main_chees():
+    import jax
+    import jax.numpy as jnp
+
+    from gaussian_processes_tpu import GaussianKernel
+    from gaussian_processes_tpu.inference import (
+        init_positions,
+        make_log_posterior,
+    )
+    from gaussian_processes_tpu.inference.chees import sample_chees
+
+    n, n_chains, n_samp = 500, 64, 200
+    rng = np.random.default_rng(0)
+    x = np.sort(rng.uniform(-np.pi, np.pi, n)).astype(DTYPE)
+    y = (np.sin(2 * x) + 0.1 * rng.standard_normal(n)).astype(DTYPE)
+    k0 = GaussianKernel(h=jnp.asarray(1.0, DTYPE), w=jnp.asarray(1.0, DTYPE))
+    log_post = make_log_posterior(k0, x, y, prior_std=1.5, jitter=1e-5)
+    k1, k2 = jax.random.split(jax.random.key(0))
+    init = init_positions(k0, 0.2, k1, n_chains=n_chains, spread=0.2,
+                          dtype=jnp.dtype(DTYPE))
+    import gaussian_processes_tpu.inference.chees as chees_mod
+
+    # warmup once (compiles both phases), then time pure collection by
+    # continuing from the warm state with the same chunked scan
+    r = sample_chees(log_post, init, k2, num_warmup=200, num_samples=10,
+                     init_step_size=0.05, chunk_size=25)
+    jax.block_until_ready(r.positions)
+    state = r.final
+
+    def cstep(s, _):
+        s, info = chees_mod.chees_step(
+            log_post, s, adapt_traj=False, max_leapfrog=1000
+        )
+        return s, info.num_leapfrog
+
+    run = jax.jit(lambda s, n_: jax.lax.scan(cstep, s, None, length=n_),
+                  static_argnums=1)
+    state, _ = run(state, 25)  # compile the collection chunk
+    jax.block_until_ready(state.chains.z)
+    t0 = time.perf_counter()
+    done = 0
+    while done < n_samp:
+        state, nls = run(state, min(25, n_samp - done))
+        done += 25
+    jax.block_until_ready(state.chains.z)
+    wall = time.perf_counter() - t0
+    sps = n_samp * n_chains / wall
+    print(json.dumps({
+        "metric": f"chees_gp_hyper_n{n}_c{n_chains}_{DTYPE}",
+        "value": round(sps, 2),
+        "unit": "samples/s",
+        "vs_baseline": None,
+    }))
 
 
 def main_nuts():
@@ -132,6 +187,8 @@ if __name__ == "__main__":
         try:
             if MODE == "nuts":
                 main_nuts()
+            elif MODE == "chees":
+                main_chees()
             else:
                 main()
             break

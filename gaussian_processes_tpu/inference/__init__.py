@@ -32,6 +32,7 @@ from gaussian_processes_tpu.inference.gp_model import (
 )
 from gaussian_processes_tpu.inference.mle import MLEResult, fit_mle, fit_mle_restarts
 from gaussian_processes_tpu.inference.diagnostics import ess, split_rhat, summarize
+from gaussian_processes_tpu.inference.chees import CheesResult, CheesState, sample_chees
 
 __all__ = [
     "DualAveragingState",
@@ -58,6 +59,9 @@ __all__ = [
     "fit_mle",
     "fit_mle_restarts",
     "ess",
+    "CheesResult",
+    "CheesState",
+    "sample_chees",
     "split_rhat",
     "summarize",
 ]

@@ -6,7 +6,9 @@ NCCL/MPI analogue is needed on TPU.
 """
 
 from gaussian_processes_tpu.parallel.sharded import (
+    ShardedCheesResult,
     ShardedNUTSResult,
+    sample_chees_sharded,
     make_chain_mesh,
     sample_nuts_sharded,
 )
@@ -33,7 +35,9 @@ __all__ = [
     "host_checkpoint_path",
     "initialize_cluster",
     "is_primary",
+    "ShardedCheesResult",
     "ShardedNUTSResult",
+    "sample_chees_sharded",
     "make_chain_mesh",
     "sample_nuts_sharded",
     "fit_sharded",

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from gaussian_processes_tpu.inference import chees as chees_mod
 from gaussian_processes_tpu.inference import nuts as nuts_mod
 
 
@@ -136,11 +137,106 @@ def sample_nuts_sharded(
         step_size=P(),
         inv_mass=P(None),
     )
+    fn = _make_sharded_nuts(local, mesh, axis, out_specs)
+    return jax.jit(fn)(key, init_position)
+
+
+def _make_sharded_nuts(local, mesh, axis, out_specs):
     # check_vma=False: the sampler's while-loop carries mix device-varying
     # chain state with replicated adaptation state, which the static vma
     # checker cannot express; replication of step_size/inv_mass holds by
     # construction (they are pure functions of pmean/psum-pooled stats)
     # and is asserted numerically in tests/test_parallel.py.
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None)),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+
+
+class ShardedCheesResult(NamedTuple):
+    positions: jax.Array  # (S, C, D)
+    log_probs: jax.Array
+    accept_prob: jax.Array
+    num_leapfrog: jax.Array  # (S,) shared across chains/devices
+    diverging: jax.Array
+    step_size: jax.Array
+    traj_length: jax.Array
+    inv_mass: jax.Array
+
+
+def sample_chees_sharded(
+    log_prob_fn: Callable,
+    init_position: jax.Array,
+    key: jax.Array,
+    *,
+    mesh: Mesh | None = None,
+    axis: str = "chain",
+    num_warmup: int = 500,
+    num_samples: int = 1000,
+    **chees_kwargs,
+) -> ShardedCheesResult:
+    """ChEES-HMC with chains sharded over the mesh.
+
+    The sampler key stays replicated so every device integrates the same
+    jittered trajectory length each iteration (the algorithm requires a
+    common step count); per-chain momenta fold in the device index.  All
+    adaptation statistics — acceptance, ChEES gradient, Welford moments —
+    pool exactly across the population via collectives.
+    """
+    if mesh is None:
+        mesh = make_chain_mesh(axis=axis)
+    if chees_kwargs.get("chunk_size") is not None:
+        raise ValueError("chunk_size does not apply inside shard_map")
+    chees_kwargs.pop("chunk_size", None)
+    n_dev = mesh.shape[axis]
+    C = init_position.shape[0]
+    if C % n_dev != 0:
+        raise ValueError(
+            f"device count ({n_dev}) must evenly divide chains ({C})"
+        )
+
+    reduce_mean, reduce_welford = _pooled_reducers(axis)
+
+    def reduce_vec_mean(x):
+        return lax.pmean(jnp.mean(x, axis=0), axis)
+
+    def local(key, pos_local):
+        res = chees_mod.sample_chees(
+            log_prob_fn,
+            pos_local,
+            key,  # shared on purpose: common trajectory jitter
+            num_warmup=num_warmup,
+            num_samples=num_samples,
+            reduce_mean=reduce_mean,
+            reduce_welford=reduce_welford,
+            reduce_vec_mean=reduce_vec_mean,
+            shard_axis=axis,
+            **chees_kwargs,
+        )
+        return ShardedCheesResult(
+            positions=res.positions,
+            log_probs=res.log_probs,
+            accept_prob=res.accept_prob,
+            num_leapfrog=res.num_leapfrog,
+            diverging=res.diverging,
+            step_size=res.step_size,
+            traj_length=res.traj_length,
+            inv_mass=res.inv_mass,
+        )
+
+    out_specs = ShardedCheesResult(
+        positions=P(None, axis, None),
+        log_probs=P(None, axis),
+        accept_prob=P(None, axis),
+        num_leapfrog=P(None),
+        diverging=P(None, axis),
+        step_size=P(),
+        traj_length=P(),
+        inv_mass=P(None),
+    )
     fn = jax.shard_map(
         local,
         mesh=mesh,

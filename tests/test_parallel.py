@@ -101,3 +101,28 @@ def test_sharded_nuts_rejects_chunk_size():
             log_post, init, jax.random.key(0),
             mesh=make_chain_mesh(8), chunk_size=5,
         )
+
+
+def test_sharded_chees_runs_and_matches_statistics():
+    from gaussian_processes_tpu.inference.chees import sample_chees
+    from gaussian_processes_tpu.parallel import sample_chees_sharded
+
+    k0, x, y = _problem()
+    log_post = make_log_posterior(k0, x, y, prior_std=1.5)
+    key = jax.random.key(0)
+    k1, k2 = jax.random.split(key)
+    init = init_positions(k0, 0.2, k1, n_chains=16, spread=0.3)
+    mesh = make_chain_mesh(8)
+    res = sample_chees_sharded(
+        log_post, init, k2, mesh=mesh, num_warmup=200, num_samples=200,
+    )
+    assert res.positions.shape == (200, 16, 3)
+    draws = np.asarray(res.positions).reshape(-1, 3)
+    assert np.all(np.isfinite(draws))
+    ref = sample_chees(log_post, init, k2, num_warmup=200, num_samples=200)
+    ref_draws = np.asarray(ref.positions).reshape(-1, 3)
+    assert np.all(
+        np.abs(draws.mean(0) - ref_draws.mean(0))
+        < 4 * ref_draws.std(0).max() / np.sqrt(80)
+    )
+    assert np.isfinite(float(res.step_size)) and float(res.traj_length) > 0
