@@ -134,16 +134,28 @@ def _hmc_trajectory(log_prob_fn, chains: ChainState, key, eps, n_steps, inv_mass
 
 def _chees_grad(z0, z1, v1, accept_prob, u_jitter, reduce_mean,
                 reduce_vec_mean):
-    """Stochastic gradient of the ChEES criterion wrt trajectory time."""
+    """Stochastic gradient of the ChEES criterion wrt trajectory time.
+
+    NaN-safe: a blown-up trajectory (non-finite z1/v1, acceptance 0)
+    must contribute zero, not poison the Adam moments for the rest of
+    warmup (0 * NaN = NaN would otherwise stick T at NaN — observed in
+    f32 on-chip runs).
+    """
+    finite = jnp.all(jnp.isfinite(z1), axis=-1) & jnp.all(
+        jnp.isfinite(v1), axis=-1
+    )  # (C,)
+    z1s = jnp.where(finite[:, None], z1, z0)
+    v1s = jnp.where(finite[:, None], v1, 0.0)
     mu0 = reduce_vec_mean(z0)  # (D,) cross-chain (and cross-device) mean
-    mu1 = reduce_vec_mean(z1)
-    a = jnp.sum(jnp.square(z1 - mu1), axis=-1) - jnp.sum(
+    mu1 = reduce_vec_mean(z1s)
+    a = jnp.sum(jnp.square(z1s - mu1), axis=-1) - jnp.sum(
         jnp.square(z0 - mu0), axis=-1
     )  # (C,)
-    b = jnp.sum((z1 - mu1) * v1, axis=-1)  # (C,) d/dt ||z1 - mu||^2 / 2
-    per_chain = accept_prob * a * b * u_jitter
+    b = jnp.sum((z1s - mu1) * v1s, axis=-1)  # (C,) d/dt ||z1 - mu||^2 / 2
+    per_chain = jnp.where(finite, accept_prob * a * b * u_jitter, 0.0)
     denom = jnp.maximum(reduce_mean(accept_prob), 1e-4)
-    return reduce_mean(per_chain) / denom
+    g = reduce_mean(per_chain) / denom
+    return jnp.where(jnp.isfinite(g), g, 0.0)
 
 
 def chees_step(
