@@ -96,7 +96,7 @@ def run_config(cfg) -> dict:
             "converged": bool(res.converged),
         }
 
-    elif cfg.task in ("nuts", "nuts_multihost"):
+    elif cfg.task in ("nuts", "chees", "nuts_multihost"):
         ncfg = cfg.nuts
         log_post = make_log_posterior(
             kernel, x, y, prior_std=ncfg.prior_std, jitter=cfg.fit.jitter
@@ -118,6 +118,15 @@ def run_config(cfg) -> dict:
                     num_warmup=ncfg.num_warmup, num_samples=ncfg.num_samples,
                     max_depth=ncfg.max_depth, target_accept=ncfg.target_accept,
                     init_step_size=ncfg.init_step_size,
+                )
+            elif cfg.task == "chees":
+                from gaussian_processes_tpu.inference.chees import sample_chees
+
+                res = sample_chees(
+                    log_post, init, k2,
+                    num_warmup=ncfg.num_warmup, num_samples=ncfg.num_samples,
+                    init_step_size=ncfg.init_step_size,
+                    chunk_size=ncfg.chunk_size,
                 )
             else:
                 res = sample_nuts(

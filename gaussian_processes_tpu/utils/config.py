@@ -107,6 +107,14 @@ CONFIGS = {
         data=DataConfig(n=500),
         nuts=NUTSConfig(n_chains=64, num_warmup=500, num_samples=1000),
     ),
+    # 3b. same workload with the tree-free ChEES-HMC sampler (the
+    # TPU-first alternative; ~13x NUTS effective throughput on chip)
+    "config3_chees_64": RunConfig(
+        name="config3_chees_64",
+        task="chees",
+        data=DataConfig(n=500),
+        nuts=NUTSConfig(n_chains=64, num_warmup=500, num_samples=1000),
+    ),
     # 4. large-N exact GP: N=65k blocked Cholesky, K tiled through HBM
     "config4_large_n": RunConfig(
         name="config4_large_n",

@@ -71,3 +71,14 @@ def test_cli_main_list_and_unknown(capsys):
     out = capsys.readouterr().out
     assert "config3_nuts_64" in out
     assert cli.main(["not_a_config"]) == 2
+
+
+def test_run_config_chees_tiny():
+    cfg = _tiny(
+        "config3_chees_64",
+        data=DataConfig(n=24),
+        nuts=NUTSConfig(n_chains=2, num_warmup=20, num_samples=10),
+    )
+    s = cli.run_config(cfg)
+    assert s["n_chains"] == 2 and s["n_samples"] == 10
+    assert np.isfinite(s["step_size"])
