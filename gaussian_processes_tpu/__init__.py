@@ -35,6 +35,13 @@ from gaussian_processes_tpu.models.matern import Matern32Kernel, Matern52Kernel
 from gaussian_processes_tpu.models.rq import RationalQuadraticKernel
 from gaussian_processes_tpu.models.composite import ProductKernel, SumKernel
 from gaussian_processes_tpu.models.ard import ARDGaussianKernel
+from gaussian_processes_tpu.models.iterative_gp import (
+    IterativePosterior,
+    fit_iterative,
+    log_marginal_value_and_grad_iterative,
+    predict_diag_iterative,
+    predict_mean_iterative,
+)
 from gaussian_processes_tpu.models.gp import (
     GPPosterior,
     build_kxx,
@@ -69,6 +76,11 @@ __all__ = [
     "SumKernel",
     "ProductKernel",
     "ARDGaussianKernel",
+    "IterativePosterior",
+    "fit_iterative",
+    "log_marginal_value_and_grad_iterative",
+    "predict_diag_iterative",
+    "predict_mean_iterative",
     "GPPosterior",
     "build_kxx",
     "fit",

@@ -1,0 +1,215 @@
+"""Matrix-free exact-GP inference: CG solves + SLQ log marginal.
+
+The beyond-dense large-N path (SURVEY.md §6.7 carried past the dense
+wall): nothing here ever stores an N x N array, so a single chip's HBM
+ceiling moves from N ~ 2e4 (dense K + factor in 16 GB) to N limited only
+by O(N * block) workspace.  All compute is elementwise kernel-strip
+generation (VPU) + matmuls (MXU) — the shapes TPUs like.
+
+    fit_iterative(kernel, x, y, noise) -> IterativePosterior
+        alpha = K^-1 y          by batched CG (kernel_matvec)
+        log_marginal            = -1/2 y^T alpha - 1/2 SLQ-logdet - n/2 log 2pi
+    predict_mean / predict_diag  by more matvecs and CG solves
+
+Accuracy model (tested in tests/test_iterative.py against the dense
+Cholesky): alpha/mean converge to CG tolerance (tight); the SLQ logdet
+is a stochastic estimate with O(1/sqrt(num_probes)) Monte-Carlo error —
+fine for MLE/NUTS (gradients see the same probes) and reported alongside
+its probe count.  Derivatives of the log marginal likelihood use the
+stochastic trace identity  tr(K^-1 dK) ~ mean_z[(K^-1 z)^T dK z]  with
+the same probes, so hyperparameter optimization at matrix-free scale
+needs only matvecs too.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gaussian_processes_tpu.models.base import Kernel
+from gaussian_processes_tpu.models.gp import _LOG_2PI
+from gaussian_processes_tpu.ops import krylov
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class IterativePosterior:
+    kernel: Kernel
+    x: jax.Array
+    y: jax.Array
+    noise: jax.Array
+    alpha: jax.Array  # K^-1 y by CG
+    log_marginal: jax.Array  # SLQ estimate
+    solve_residual: jax.Array  # final relative CG residual of the y solve
+    num_probes: jax.Array
+    num_iters: jax.Array
+
+
+def _matvec(kernel, x, noise, jitter, block_size):
+    def mv(v):
+        return krylov.kernel_matvec(
+            kernel, x, v, noise, jitter, block_size=block_size
+        )
+
+    return mv
+
+
+def fit_iterative(
+    kernel: Kernel,
+    x,
+    y,
+    noise,
+    key: jax.Array | None = None,
+    *,
+    num_probes: int = 16,
+    num_iters: int = 100,
+    tol: float = 1e-8,
+    jitter: float = 0.0,
+    block_size: int = 1024,
+) -> IterativePosterior:
+    """Matrix-free exact-GP fit; memory O(n * block_size)."""
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    noise = jnp.asarray(noise)
+    if key is None:
+        key = jax.random.key(0)
+    n = x.shape[0]
+    dtype = y.dtype
+
+    probes = jax.random.rademacher(key, (n, num_probes), dtype=dtype)
+    rhs = jnp.concatenate([y[:, None], probes], axis=1)
+    mv = _matvec(kernel, x, noise, jitter, block_size)
+    res = krylov.mbcg(mv, rhs, num_iters=num_iters, tol=tol)
+
+    alpha = res.solution[:, 0]
+    probe_norms = jnp.full((num_probes,), float(n), dtype)
+    logdet = krylov.slq_logdet_from_cg(
+        res.alphas[:, 1:], res.betas[:, 1:], probe_norms, n
+    )
+    lml = -0.5 * jnp.dot(y, alpha) - 0.5 * logdet - 0.5 * n * _LOG_2PI
+    return IterativePosterior(
+        kernel=kernel,
+        x=x,
+        y=y,
+        noise=noise,
+        alpha=alpha,
+        log_marginal=lml,
+        solve_residual=res.residual_norm[0],
+        num_probes=jnp.asarray(num_probes),
+        num_iters=jnp.asarray(num_iters),
+    )
+
+
+def predict_mean_iterative(post: IterativePosterior, xo, block_size: int = 1024):
+    """Predictive mean by strip matvecs: K(xo, x) @ alpha, O(m*b) memory."""
+    xo = jnp.asarray(xo)
+    m = xo.shape[0]
+    b = min(block_size, m)
+    nb = -(-m // b)
+    xo_pad = krylov._pad_to(xo, nb * b).reshape(nb, b)
+
+    def step(_, xj):
+        return None, post.kernel(xj, post.x) @ post.alpha
+
+    _, chunks = jax.lax.scan(step, None, xo_pad)
+    return chunks.reshape(-1)[:m]
+
+
+def predict_diag_iterative(
+    post: IterativePosterior,
+    xo,
+    *,
+    num_iters: int = 100,
+    tol: float = 1e-8,
+    jitter: float = 0.0,
+    block_size: int = 1024,
+) -> Tuple[jax.Array, jax.Array]:
+    """Mean and per-point variance; one CG solve per test batch.
+
+    var_i = k(xo_i, xo_i) - k_i^T K^-1 k_i with the m cross-covariance
+    columns solved together by batched CG (memory O(n * m)).
+    """
+    xo = jnp.asarray(xo)
+    Kxxo = post.kernel(post.x, xo)  # (n, m)
+    mv = _matvec(post.kernel, post.x, post.noise, jitter, block_size)
+    sol = krylov.mbcg(mv, Kxxo, num_iters=num_iters, tol=tol).solution
+    mean = Kxxo.T @ post.alpha
+    var = post.kernel.kdiag(xo) - jnp.sum(Kxxo * sol, axis=0)
+    return mean, var
+
+
+def log_marginal_value_and_grad_iterative(
+    kernel: Kernel,
+    x,
+    y,
+    noise,
+    key: jax.Array | None = None,
+    *,
+    num_probes: int = 16,
+    num_iters: int = 100,
+    tol: float = 1e-8,
+    jitter: float = 0.0,
+    block_size: int = 1024,
+):
+    """(lml_estimate, d lml / d theta) matrix-free, theta = (kernel..., s).
+
+    grad_p = 1/2 alpha^T K_p alpha - 1/2 E_z[(K^-1 z)^T K_p z], with the
+    Hutchinson expectation over the same Rademacher probes used for the
+    logdet, and K_p v computed by strip matvecs of the kernel Jacobian.
+    """
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    noise = jnp.asarray(noise)
+    if key is None:
+        key = jax.random.key(0)
+    n = x.shape[0]
+    dtype = y.dtype
+    P = kernel.n_params
+
+    probes = jax.random.rademacher(key, (n, num_probes), dtype=dtype)
+    rhs = jnp.concatenate([y[:, None], probes], axis=1)
+    mv = _matvec(kernel, x, noise, jitter, block_size)
+    res = krylov.mbcg(mv, rhs, num_iters=num_iters, tol=tol)
+    alpha = res.solution[:, 0]
+    Kinv_z = res.solution[:, 1:]  # (n, r)
+
+    probe_norms = jnp.full((num_probes,), float(n), dtype)
+    logdet = krylov.slq_logdet_from_cg(
+        res.alphas[:, 1:], res.betas[:, 1:], probe_norms, n
+    )
+    lml = -0.5 * jnp.dot(y, alpha) - 0.5 * logdet - 0.5 * n * _LOG_2PI
+
+    # strip accumulation of J_p-matvecs: J (P, n, b) per column block
+    b = min(block_size, n)
+    nb = -(-n // b)
+    n_pad = nb * b
+    x_pad = krylov._pad_to(x, n_pad).reshape(nb, b)
+    av_pad = krylov._pad_to(alpha[:, None], n_pad).reshape(nb, b, 1)
+    z_pad = krylov._pad_to(probes, n_pad).reshape(nb, b, num_probes)
+
+    def step(acc, xv):
+        xj, aj, zj = xv
+        Jj = kernel.jacobian(x, xj)  # (P, n, b)
+        Ja = acc[0] + jnp.einsum("pnb,b->pn", Jj, aj[:, 0])
+        Jz = acc[1] + jnp.einsum("pnb,br->pnr", Jj, zj)
+        return (Ja, Jz), None
+
+    Ja0 = jnp.zeros((P, n), dtype)
+    Jz0 = jnp.zeros((P, n, num_probes), dtype)
+    (J_alpha, J_z), _ = jax.lax.scan(step, (Ja0, Jz0), (x_pad, av_pad, z_pad))
+
+    quad = jnp.einsum("n,pn->p", alpha, J_alpha)
+    trace_est = jnp.mean(
+        jnp.einsum("nr,pnr->pr", Kinv_z, J_z), axis=-1
+    )
+    grad_kernel = 0.5 * (quad - trace_est)
+
+    # noise component: dK/ds = 2 s I
+    two_s = 2.0 * noise
+    quad_s = two_s * jnp.dot(alpha, alpha)
+    trace_s = two_s * jnp.mean(jnp.sum(Kinv_z * probes, axis=0))
+    grad_s = 0.5 * (quad_s - trace_s)
+    return lml, jnp.concatenate([grad_kernel, grad_s[None]])

@@ -1,0 +1,171 @@
+"""Matrix-free Krylov ops: blocked kernel matvec, batched CG, SLQ logdet.
+
+The O(N^2)-storage-free large-N path (pattern source: the public BBMM /
+GPyTorch line of work — blackbox matrix-matrix inference — re-designed
+here for TPU rather than copied):
+
+* ``kernel_matvec``: K v without materializing K — a ``lax.scan`` over
+  column blocks builds each (n, b) kernel strip on the fly from x (pure
+  elementwise VPU work straight out of registers) and contracts it on
+  the MXU.  Peak memory is O(n b), so one 16 GB chip handles N far
+  beyond the 17 GB dense wall at 65k (SURVEY.md §6.7, config #4).
+* ``mbcg``: batched conjugate gradients over multiple right-hand sides,
+  run a FIXED number of iterations (static shapes; converged systems are
+  masked, not exited) — every iteration is one fused matvec over all
+  RHS.  The CG recurrence coefficients double as the Lanczos tridiagonal
+  of each probe vector (the BBMM identity), so solves and logdet probes
+  come out of a single sweep.
+* ``slq_logdet``: stochastic Lanczos quadrature — for Rademacher probes
+  z, E[z^T log(K) z] = logdet(K); each probe's quadrature is
+  ||z||^2 e_1^T log(T_m) e_1 with T_m assembled from its CG
+  coefficients and eigendecomposed as a tiny (m, m) batch.
+
+Accuracy is statistical (probes) + Krylov (iterations); the exact-parity
+tests gate the estimates against the dense Cholesky at moderate N, and
+``models/iterative_gp.py`` documents the tolerance model.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from gaussian_processes_tpu.models.base import Kernel
+
+
+def _pad_to(x, size, axis=0):
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def kernel_matvec(
+    kernel: Kernel,
+    x: jax.Array,
+    v: jax.Array,
+    noise,
+    jitter: float = 0.0,
+    block_size: int = 1024,
+) -> jax.Array:
+    """(K_f(x, x) + (noise^2 + jitter) I) @ v without materializing K.
+
+    ``v`` may be (n,) or (n, r).  Column blocks of K are generated on the
+    fly; each scan step does one (n, b) strip build + (n, b) @ (b, r).
+    """
+    x = jnp.asarray(x)
+    squeeze = v.ndim == 1
+    v2 = v[:, None] if squeeze else v
+    n = x.shape[0]
+    b = min(block_size, n)
+    nb = -(-n // b)
+    n_pad = nb * b
+    x_pad = _pad_to(x, n_pad)
+    # padded x entries produce kernel values against real rows, but the
+    # corresponding v rows are zero-padded so they contribute nothing
+    v_pad = _pad_to(v2, n_pad)
+    xb = x_pad.reshape(nb, b)
+    vb = v_pad.reshape(nb, b, v2.shape[1])
+
+    def step(acc, xv):
+        xj, vj = xv
+        Kj = kernel(x, xj)  # (n, b) strip, built from registers
+        return acc + Kj @ vj, None
+
+    acc0 = jnp.zeros((n, v2.shape[1]), v2.dtype)
+    out, _ = lax.scan(step, acc0, (xb, vb))
+    diag = (jnp.square(jnp.asarray(noise, out.dtype)) + jitter)
+    out = out + diag * v2
+    return out[:, 0] if squeeze else out
+
+
+class MBCGResult(NamedTuple):
+    solution: jax.Array  # (n, r)
+    alphas: jax.Array  # (m, r) CG step sizes
+    betas: jax.Array  # (m, r) CG direction updates
+    residual_norm: jax.Array  # (r,) final relative residuals
+
+
+def mbcg(matvec, rhs: jax.Array, num_iters: int, tol: float = 1e-10) -> MBCGResult:
+    """Batched CG on (n, r) right-hand sides, fixed ``num_iters``.
+
+    Converged columns freeze (masked updates) so their Lanczos
+    coefficients stop changing; alphas/betas feed ``slq_logdet``.
+    """
+    n, r = rhs.shape
+    dtype = rhs.dtype
+    x0 = jnp.zeros_like(rhs)
+    r0 = rhs
+    p0 = rhs
+    rs0 = jnp.sum(r0 * r0, axis=0)  # (r,)
+    b_norm = jnp.sqrt(jnp.maximum(jnp.sum(rhs * rhs, axis=0), 1e-30))
+
+    def body(carry, _):
+        x, res, p, rs = carry
+        active = jnp.sqrt(rs) / b_norm > tol  # (r,)
+        Ap = matvec(p)
+        pAp = jnp.sum(p * Ap, axis=0)
+        alpha = jnp.where(active, rs / jnp.maximum(pAp, 1e-30), 0.0)
+        x = x + alpha[None, :] * p
+        res = res - alpha[None, :] * Ap
+        rs_new = jnp.sum(res * res, axis=0)
+        beta = jnp.where(active, rs_new / jnp.maximum(rs, 1e-30), 0.0)
+        p = jnp.where(active[None, :], res + beta[None, :] * p, p)
+        return (x, res, p, rs_new), (alpha, beta)
+
+    (x, res, _, rs), (alphas, betas) = lax.scan(
+        body, (x0, r0, p0, rs0), None, length=num_iters
+    )
+    return MBCGResult(
+        solution=x,
+        alphas=alphas,
+        betas=betas,
+        residual_norm=jnp.sqrt(rs) / b_norm,
+    )
+
+
+def lanczos_tridiag_from_cg(alphas: jax.Array, betas: jax.Array):
+    """Lanczos T (m, m) per RHS from CG coefficients; batched over r.
+
+    diag_k   = 1/alpha_k + beta_{k-1}/alpha_{k-1}   (beta_{-1} = 0)
+    offdiag_k = sqrt(beta_k) / alpha_k
+    Frozen (alpha = 0) iterations yield zero rows/cols that are inert in
+    the quadrature (they contribute log-eigenvalues weighted ~0).
+    """
+    m, r = alphas.shape
+    safe_a = jnp.where(alphas > 0, alphas, 1.0)
+    inv_a = jnp.where(alphas > 0, 1.0 / safe_a, 0.0)  # (m, r)
+    prev_beta_over_a = jnp.concatenate(
+        [jnp.zeros((1, r), alphas.dtype), (betas * inv_a)[:-1]], axis=0
+    )
+    diag = inv_a + prev_beta_over_a  # (m, r)
+    off = jnp.sqrt(jnp.maximum(betas, 0.0)) * inv_a  # (m, r); last unused
+    T = (
+        jnp.zeros((r, m, m), alphas.dtype)
+        + jnp.moveaxis(diag, 0, 1)[:, :, None] * jnp.eye(m)[None]
+    )
+    offd = jnp.moveaxis(off[:-1], 0, 1)  # (r, m-1)
+    idx = jnp.arange(m - 1)
+    T = T.at[:, idx, idx + 1].set(offd)
+    T = T.at[:, idx + 1, idx].set(offd)
+    return T
+
+
+def slq_logdet_from_cg(alphas, betas, probe_sq_norms, n):
+    """SLQ logdet estimate from the CG coefficients of Rademacher probes.
+
+    logdet(K) ~ mean_probes[ ||z||^2 * e1^T log(T) e1 ]  (||z||^2 = n for
+    Rademacher probes, passed explicitly to support normalized probes).
+    """
+    T = lanczos_tridiag_from_cg(alphas, betas)  # (r, m, m)
+    evals, evecs = jnp.linalg.eigh(T)
+    w = jnp.square(evecs[:, 0, :])  # (r, m) first-component weights
+    safe = jnp.maximum(evals, 1e-30)
+    quad = jnp.sum(w * jnp.log(safe), axis=-1)  # (r,)
+    return jnp.mean(probe_sq_norms * quad)

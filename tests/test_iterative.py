@@ -1,0 +1,106 @@
+"""Matrix-free iterative inference vs the dense Cholesky oracle.
+
+Gates: the CG solve and predictive mean/variance must match the dense
+path to solver tolerance; the SLQ log marginal within its Monte-Carlo
+error; the stochastic gradient within Hutchinson error of the analytic
+gradient.  All f64 on CPU so the only error sources are the estimators
+themselves.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussian_processes_tpu import (
+    GaussianKernel,
+    fit,
+    log_marginal_value_and_grad,
+    predict_diag,
+)
+from gaussian_processes_tpu.models.iterative_gp import (
+    fit_iterative,
+    log_marginal_value_and_grad_iterative,
+    predict_diag_iterative,
+    predict_mean_iterative,
+)
+from gaussian_processes_tpu.ops import krylov
+from gaussian_processes_tpu.utils.testing import make_xo, make_xy
+
+
+def _problem(n=300, seed=0, noise=0.3):
+    rng = np.random.default_rng(seed)
+    x, y = make_xy(rng, n=n)
+    kernel = GaussianKernel(h=jnp.float64(1.2), w=jnp.float64(0.6))
+    return kernel, jnp.asarray(x), jnp.asarray(y), noise
+
+
+def test_kernel_matvec_matches_dense():
+    kernel, x, y, s = _problem(n=137)  # non-divisible by block
+    from gaussian_processes_tpu import build_kxx
+
+    K = build_kxx(kernel, x, s, jitter=1e-8)
+    v = jnp.asarray(np.random.default_rng(1).standard_normal((137, 3)))
+    got = krylov.kernel_matvec(kernel, x, v, s, jitter=1e-8, block_size=32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(K @ v), rtol=1e-10, atol=1e-12)
+    got1 = krylov.kernel_matvec(kernel, x, v[:, 0], s, jitter=1e-8, block_size=32)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(K @ v[:, 0]), rtol=1e-10, atol=1e-12)
+
+
+def test_mbcg_solves_match_direct():
+    kernel, x, y, s = _problem()
+    from gaussian_processes_tpu import build_kxx
+
+    K = build_kxx(kernel, x, s)
+    rhs = jnp.stack([y, jnp.ones_like(y)], axis=1)
+    mv = lambda v: K @ v
+    res = krylov.mbcg(mv, rhs, num_iters=200, tol=1e-12)
+    direct = jnp.linalg.solve(K, rhs)
+    np.testing.assert_allclose(np.asarray(res.solution), np.asarray(direct),
+                               rtol=1e-6, atol=1e-8)
+    assert np.all(np.asarray(res.residual_norm) < 1e-10)
+
+
+def test_fit_iterative_matches_dense():
+    kernel, x, y, s = _problem()
+    post_d = fit(kernel, x, y, s)
+    post_i = fit_iterative(kernel, x, y, s, jax.random.key(0),
+                           num_probes=64, num_iters=200, block_size=64)
+    np.testing.assert_allclose(np.asarray(post_i.alpha), np.asarray(post_d.alpha),
+                               rtol=1e-6, atol=1e-8)
+    # SLQ logdet: Monte-Carlo error ~ |logdet| / sqrt(probes); generous gate
+    lml_d = float(post_d.log_marginal)
+    lml_i = float(post_i.log_marginal)
+    assert abs(lml_i - lml_d) < 0.05 * abs(lml_d) + 5.0
+    assert float(post_i.solve_residual) < 1e-7
+
+
+def test_iterative_predictions_match_dense():
+    kernel, x, y, s = _problem()
+    post_d = fit(kernel, x, y, s)
+    post_i = fit_iterative(kernel, x, y, s, jax.random.key(0),
+                           num_iters=200, block_size=64)
+    xo = jnp.asarray(make_xo(40))
+    m_d, v_d = predict_diag(post_d, xo)
+    m_i = predict_mean_iterative(post_i, xo, block_size=16)
+    np.testing.assert_allclose(np.asarray(m_i), np.asarray(m_d), rtol=1e-6,
+                               atol=1e-8)
+    m_i2, v_i = predict_diag_iterative(post_i, xo, num_iters=200)
+    np.testing.assert_allclose(np.asarray(m_i2), np.asarray(m_d), rtol=1e-6,
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(v_i), np.asarray(v_d), rtol=1e-4,
+                               atol=1e-7)
+
+
+def test_iterative_gradient_matches_analytic():
+    kernel, x, y, s = _problem(n=200)
+    lml_a, g_a = log_marginal_value_and_grad(kernel, x, y, s)
+    lml_i, g_i = log_marginal_value_and_grad_iterative(
+        kernel, x, y, s, jax.random.key(1),
+        num_probes=256, num_iters=200, block_size=64,
+    )
+    # Hutchinson trace error ~ 1/sqrt(256) = 6% of trace scale
+    denom = np.maximum(np.abs(np.asarray(g_a)), 1.0)
+    rel = np.abs(np.asarray(g_i) - np.asarray(g_a)) / denom
+    assert np.all(rel < 0.2), (g_i, g_a)
+    assert abs(float(lml_i) - float(lml_a)) < 0.05 * abs(float(lml_a)) + 5.0
