@@ -81,6 +81,40 @@ def main_chees():
     }))
 
 
+def main_iterative():
+    """Matrix-free fit at BENCH_N (default 65536) — the beyond-dense path."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaussian_processes_tpu import GaussianKernel, fit_iterative
+
+    n = int(os.environ.get("BENCH_N", 65536))
+    rng = np.random.default_rng(0)
+    x = np.sort(rng.uniform(-np.pi, np.pi, n)).astype(DTYPE)
+    y = (np.sin(2 * x) + 0.1 * rng.standard_normal(n)).astype(DTYPE)
+    kernel = GaussianKernel(h=jnp.asarray(1.0, DTYPE), w=jnp.asarray(1.0, DTYPE))
+
+    fit_j = jax.jit(lambda x, y: fit_iterative(
+        kernel, x, y, 0.1, jax.random.key(0),
+        num_probes=8, num_iters=100, tol=1e-6, jitter=1e-4, block_size=2048,
+    ))
+    out = fit_j(x, y)
+    jax.block_until_ready(out.alpha)
+    assert bool(jnp.isfinite(out.log_marginal)), "non-finite lml estimate"
+    t0 = time.perf_counter()
+    out = fit_j(x, y)
+    jax.block_until_ready(out.alpha)
+    wall = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": f"iterative_gp_fit_n{n}_{DTYPE}_wall",
+        "value": round(wall, 4),
+        "unit": "s",
+        "vs_baseline": None,
+    }), flush=True)
+    print(f"# residual={float(out.solve_residual):.2e} "
+          f"lml={float(out.log_marginal):.1f}", file=sys.stderr)
+
+
 def main_nuts():
     import jax
     import jax.numpy as jnp
@@ -189,6 +223,8 @@ if __name__ == "__main__":
                 main_nuts()
             elif MODE == "chees":
                 main_chees()
+            elif MODE == "iterative":
+                main_iterative()
             else:
                 main()
             break

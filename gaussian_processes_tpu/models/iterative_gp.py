@@ -109,7 +109,7 @@ def predict_mean_iterative(post: IterativePosterior, xo, block_size: int = 1024)
     m = xo.shape[0]
     b = min(block_size, m)
     nb = -(-m // b)
-    xo_pad = krylov._pad_to(xo, nb * b).reshape(nb, b)
+    xo_pad = krylov._pad_to(xo, nb * b).reshape(nb, b, *xo.shape[1:])
 
     def step(_, xj):
         return None, post.kernel(xj, post.x) @ post.alpha

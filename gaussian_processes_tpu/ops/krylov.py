@@ -70,7 +70,7 @@ def kernel_matvec(
     # padded x entries produce kernel values against real rows, but the
     # corresponding v rows are zero-padded so they contribute nothing
     v_pad = _pad_to(v2, n_pad)
-    xb = x_pad.reshape(nb, b)
+    xb = x_pad.reshape(nb, b, *x.shape[1:])  # (n,) or (n, D) inputs
     vb = v_pad.reshape(nb, b, v2.shape[1])
 
     def step(acc, xv):

@@ -104,3 +104,22 @@ def test_iterative_gradient_matches_analytic():
     rel = np.abs(np.asarray(g_i) - np.asarray(g_a)) / denom
     assert np.all(rel < 0.2), (g_i, g_a)
     assert abs(float(lml_i) - float(lml_a)) < 0.05 * abs(float(lml_a)) + 5.0
+
+
+def test_iterative_with_ard_inputs():
+    from gaussian_processes_tpu import ARDGaussianKernel
+
+    rng = np.random.default_rng(9)
+    n, D = 150, 2
+    x = jnp.asarray(rng.uniform(-2, 2, (n, D)))
+    y = jnp.asarray(np.sin(2 * np.asarray(x)[:, 0]) + 0.1 * rng.standard_normal(n))
+    k = ARDGaussianKernel(h=jnp.float64(1.0), w=jnp.asarray([0.8, 1.4]))
+    post_i = fit_iterative(k, x, y, 0.2, jax.random.key(0),
+                           num_iters=200, block_size=32)
+    post_d = fit(k, x, y, 0.2)
+    np.testing.assert_allclose(np.asarray(post_i.alpha), np.asarray(post_d.alpha),
+                               rtol=1e-6, atol=1e-8)
+    xo = jnp.asarray(rng.uniform(-2, 2, (20, D)))
+    m_i = predict_mean_iterative(post_i, xo, block_size=8)
+    m_d, _ = predict_diag(post_d, xo)
+    np.testing.assert_allclose(np.asarray(m_i), np.asarray(m_d), rtol=1e-6, atol=1e-8)
