@@ -8,6 +8,7 @@ from gaussian_processes_tpu.models.ard import ARDGaussianKernel
 from gaussian_processes_tpu.models.iterative_gp import (
     IterativePosterior,
     fit_iterative,
+    fit_mle_iterative,
     log_marginal_value_and_grad_iterative,
     predict_diag_iterative,
     predict_mean_iterative,
@@ -41,6 +42,7 @@ __all__ = [
     "ARDGaussianKernel",
     "IterativePosterior",
     "fit_iterative",
+    "fit_mle_iterative",
     "log_marginal_value_and_grad_iterative",
     "predict_diag_iterative",
     "predict_mean_iterative",

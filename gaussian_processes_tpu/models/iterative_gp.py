@@ -141,6 +141,63 @@ def predict_diag_iterative(
     return mean, var
 
 
+def fit_mle_iterative(
+    kernel: Kernel,
+    x,
+    y,
+    noise_init,
+    key: jax.Array | None = None,
+    *,
+    num_steps: int = 50,
+    learning_rate: float = 0.05,
+    num_probes: int = 16,
+    num_iters: int = 100,
+    tol: float = 1e-6,
+    jitter: float = 0.0,
+    block_size: int = 1024,
+):
+    """Type-II MLE at matrix-free scale: Adam on the stochastic
+    (value, grad) pairs from ``log_marginal_value_and_grad_iterative``.
+
+    Fresh probes each step act as minibatch noise; Adam averages through
+    it.  Returns (kernel, noise, last_lml_estimate, lml_trace).
+    """
+    import optax
+
+    if key is None:
+        key = jax.random.key(0)
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    u0 = jnp.log(
+        jnp.concatenate([kernel.params, jnp.asarray(noise_init)[None]])
+    )
+    opt = optax.adam(learning_rate)
+    P = kernel.n_params
+
+    @jax.jit
+    def step(u, opt_state, k):
+        theta = jnp.exp(u)
+        kern = kernel.with_params(theta[:P])
+        lml, g_theta = log_marginal_value_and_grad_iterative(
+            kern, x, y, theta[P], k,
+            num_probes=num_probes, num_iters=num_iters, tol=tol,
+            jitter=jitter, block_size=block_size,
+        )
+        g_u = -g_theta * theta  # d(-lml)/du via chain rule through exp
+        updates, opt_state = opt.update(g_u, opt_state, u)
+        return optax.apply_updates(u, updates), opt_state, lml
+
+    opt_state = opt.init(u0)
+    u = u0
+    lmls = []
+    for i in range(num_steps):
+        key, sub = jax.random.split(key)
+        u, opt_state, lml = step(u, opt_state, sub)
+        lmls.append(float(lml))
+    theta = jnp.exp(u)
+    return kernel.with_params(theta[:P]), theta[P], lmls[-1], lmls
+
+
 def log_marginal_value_and_grad_iterative(
     kernel: Kernel,
     x,

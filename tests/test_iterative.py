@@ -123,3 +123,19 @@ def test_iterative_with_ard_inputs():
     m_i = predict_mean_iterative(post_i, xo, block_size=8)
     m_d, _ = predict_diag(post_d, xo)
     np.testing.assert_allclose(np.asarray(m_i), np.asarray(m_d), rtol=1e-6, atol=1e-8)
+
+
+def test_fit_mle_iterative_improves_lml():
+    from gaussian_processes_tpu.models.iterative_gp import fit_mle_iterative
+    from gaussian_processes_tpu import log_marginal_likelihood
+
+    kernel, x, y, s = _problem(n=200)
+    k_bad = GaussianKernel(h=jnp.float64(0.5), w=jnp.float64(2.0))
+    k_fit, noise_fit, lml_last, trace = fit_mle_iterative(
+        k_bad, x, y, 0.5, jax.random.key(0),
+        num_steps=40, num_probes=32, num_iters=150, block_size=64,
+    )
+    lml0 = float(log_marginal_likelihood(k_bad, x, y, 0.5))
+    lml_exact = float(log_marginal_likelihood(k_fit, x, y, noise_fit))
+    assert lml_exact > lml0 + 5.0  # genuinely improved (exact check)
+    assert np.isfinite(lml_last)
