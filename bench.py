@@ -91,12 +91,17 @@ def main_iterative():
     n = int(os.environ.get("BENCH_N", 65536))
     rng = np.random.default_rng(0)
     x = np.sort(rng.uniform(-np.pi, np.pi, n)).astype(DTYPE)
+    # lengthscale scaled so ~100 points fall within one w: a realistic
+    # large-N regression (w=1 at n=65k is numerically and statistically
+    # degenerate — condition ~ n h^2 / s^2 exceeds f32 CG's reach)
+    w = max(100.0 * 2 * np.pi / n, 1e-3)
     y = (np.sin(2 * x) + 0.1 * rng.standard_normal(n)).astype(DTYPE)
-    kernel = GaussianKernel(h=jnp.asarray(1.0, DTYPE), w=jnp.asarray(1.0, DTYPE))
+    kernel = GaussianKernel(h=jnp.asarray(1.0, DTYPE), w=jnp.asarray(w, DTYPE))
 
+    iters = int(os.environ.get("BENCH_ITERS", 150))
     fit_j = jax.jit(lambda x, y: fit_iterative(
         kernel, x, y, 0.1, jax.random.key(0),
-        num_probes=8, num_iters=100, tol=1e-6, jitter=1e-4, block_size=2048,
+        num_probes=8, num_iters=iters, tol=1e-6, jitter=1e-4, block_size=2048,
     ))
     out = fit_j(x, y)
     jax.block_until_ready(out.alpha)

@@ -107,26 +107,42 @@ def mbcg(matvec, rhs: jax.Array, num_iters: int, tol: float = 1e-10) -> MBCGResu
     b_norm = jnp.sqrt(jnp.maximum(jnp.sum(rhs * rhs, axis=0), 1e-30))
 
     def body(carry, _):
-        x, res, p, rs = carry
-        active = jnp.sqrt(rs) / b_norm > tol  # (r,)
+        x, res, p, rs, x_best, rs_best = carry
         Ap = matvec(p)
         pAp = jnp.sum(p * Ap, axis=0)
-        alpha = jnp.where(active, rs / jnp.maximum(pAp, 1e-30), 0.0)
+        # freeze converged columns AND numerical breakdowns: pAp <= 0 from
+        # f32 rounding near the conditioning limit, or a residual that has
+        # blown far past its best (low-precision CG can diverge after
+        # stalling; stepping on would poison everything downstream)
+        active = (
+            (jnp.sqrt(rs) / b_norm > tol)
+            & (pAp > 0)
+            & jnp.isfinite(pAp)
+            & jnp.isfinite(rs)
+            & (rs < 1e4 * rs_best)
+        )  # (r,)
+        alpha = jnp.where(active, rs / jnp.where(active, pAp, 1.0), 0.0)
         x = x + alpha[None, :] * p
         res = res - alpha[None, :] * Ap
         rs_new = jnp.sum(res * res, axis=0)
+        rs_new = jnp.where(active, rs_new, rs)
         beta = jnp.where(active, rs_new / jnp.maximum(rs, 1e-30), 0.0)
         p = jnp.where(active[None, :], res + beta[None, :] * p, p)
-        return (x, res, p, rs_new), (alpha, beta)
+        better = rs_new < rs_best
+        x_best = jnp.where(better[None, :], x, x_best)
+        rs_best = jnp.where(better, rs_new, rs_best)
+        return (x, res, p, rs_new, x_best, rs_best), (alpha, beta)
 
-    (x, res, _, rs), (alphas, betas) = lax.scan(
-        body, (x0, r0, p0, rs0), None, length=num_iters
+    (x, res, _, rs, x_best, rs_best), (alphas, betas) = lax.scan(
+        body, (x0, r0, p0, rs0, x0, rs0), None, length=num_iters
     )
+    # return the best iterate seen, not the last (identical when CG is
+    # healthy; strictly better when low precision stalls then drifts)
     return MBCGResult(
-        solution=x,
+        solution=x_best,
         alphas=alphas,
         betas=betas,
-        residual_norm=jnp.sqrt(rs) / b_norm,
+        residual_norm=jnp.sqrt(rs_best) / b_norm,
     )
 
 
