@@ -99,9 +99,11 @@ def main_iterative():
     kernel = GaussianKernel(h=jnp.asarray(1.0, DTYPE), w=jnp.asarray(w, DTYPE))
 
     iters = int(os.environ.get("BENCH_ITERS", 150))
+    rank = int(os.environ.get("BENCH_PRECOND_RANK", 512))
     fit_j = jax.jit(lambda x, y: fit_iterative(
         kernel, x, y, 0.1, jax.random.key(0),
         num_probes=8, num_iters=iters, tol=1e-6, jitter=1e-4, block_size=2048,
+        precond_rank=rank,
     ))
     out = fit_j(x, y)
     jax.block_until_ready(out.alpha)

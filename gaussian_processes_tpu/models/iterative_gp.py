@@ -69,8 +69,14 @@ def fit_iterative(
     tol: float = 1e-8,
     jitter: float = 0.0,
     block_size: int = 1024,
+    precond_rank: int = 0,
 ) -> IterativePosterior:
-    """Matrix-free exact-GP fit; memory O(n * block_size)."""
+    """Matrix-free exact-GP fit; memory O(n * max(block_size, precond_rank)).
+
+    ``precond_rank > 0`` solves alpha with pivoted-Cholesky-preconditioned
+    CG (breaks the f32 conditioning stall at large N; the SLQ logdet
+    keeps the plain-CG probes so its quadrature identity holds).
+    """
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     noise = jnp.asarray(noise)
@@ -85,6 +91,15 @@ def fit_iterative(
     res = krylov.mbcg(mv, rhs, num_iters=num_iters, tol=tol)
 
     alpha = res.solution[:, 0]
+    solve_residual = res.residual_norm[0]
+    if precond_rank > 0:
+        L = krylov.pivoted_cholesky(kernel, x, precond_rank)
+        pre = krylov.woodbury_inverse_apply(
+            L, jnp.square(noise) + jitter
+        )
+        alpha2, rn = krylov.pcg(mv, pre, y[:, None], num_iters=num_iters, tol=tol)
+        alpha = alpha2[:, 0]
+        solve_residual = rn[0]
     probe_norms = jnp.full((num_probes,), float(n), dtype)
     logdet = krylov.slq_logdet_from_cg(
         res.alphas[:, 1:], res.betas[:, 1:], probe_norms, n
@@ -97,7 +112,7 @@ def fit_iterative(
         noise=noise,
         alpha=alpha,
         log_marginal=lml,
-        solve_residual=res.residual_norm[0],
+        solve_residual=solve_residual,
         num_probes=jnp.asarray(num_probes),
         num_iters=jnp.asarray(num_iters),
     )

@@ -146,6 +146,106 @@ def mbcg(matvec, rhs: jax.Array, num_iters: int, tol: float = 1e-10) -> MBCGResu
     )
 
 
+def pivoted_cholesky(
+    kernel: Kernel, x: jax.Array, rank: int, jitter: float = 1e-6
+) -> jax.Array:
+    """Rank-k pivoted Cholesky of K_f(x, x), built matrix-free.
+
+    Greedy diagonal pivoting; each step touches one on-the-fly kernel
+    column (O(n) work), total O(n k^2).  Returns L with K ~ L L^T
+    capturing the top of the spectrum — the standard CG preconditioner
+    for kernel systems (pattern from the public pivoted-Cholesky /
+    preconditioned-BBMM literature; implementation is this module's).
+    """
+    x = jnp.asarray(x)
+    n = x.shape[0]
+    dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
+
+    d0 = kernel.kdiag(x).astype(dtype)  # (n,)
+    L0 = jnp.zeros((n, rank), dtype)
+
+    def body(j, carry):
+        L, d = carry
+        piv = jnp.argmax(d)
+        xp = jax.lax.dynamic_index_in_dim(x, piv, 0, keepdims=True)
+        c = kernel(x, xp)[:, 0].astype(dtype)  # K[:, piv]
+        lp = L[piv]  # (rank,) — columns >= j are still zero
+        l = (c - L @ lp) / jnp.sqrt(jnp.maximum(d[piv], jitter))
+        L = L.at[:, j].set(l)
+        d = jnp.maximum(d - l * l, 0.0)
+        return (L, d)
+
+    L, _ = lax.fori_loop(0, rank, body, (L0, d0))
+    return L
+
+
+def woodbury_inverse_apply(L: jax.Array, sigma2) -> "callable":
+    """Return v -> (L L^T + sigma2 I)^-1 v via the Woodbury identity.
+
+    Precomputes the (k, k) capacitance Cholesky once; each apply is
+    2 n k flops — cheap relative to a kernel matvec.
+    """
+    from jax.scipy.linalg import cho_factor, cho_solve
+
+    k = L.shape[1]
+    sigma2 = jnp.asarray(sigma2, L.dtype)
+    M = sigma2 * jnp.eye(k, dtype=L.dtype) + L.T @ L
+    cf = cho_factor(M)
+
+    def apply(v):
+        Ltv = L.T @ v
+        return (v - L @ cho_solve(cf, Ltv)) / sigma2
+
+    return apply
+
+
+def pcg(matvec, precond, rhs: jax.Array, num_iters: int, tol: float = 1e-10):
+    """Preconditioned CG on (n, r) right-hand sides, fixed iterations.
+
+    Same robustness policy as ``mbcg`` (breakdown freeze, best-iterate
+    return); used for the accuracy-critical solves (alpha, predictive
+    variance) while the SLQ logdet keeps the plain-CG tridiagonals.
+    """
+    x0 = jnp.zeros_like(rhs)
+    r0 = rhs
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0, axis=0)
+    b_norm = jnp.sqrt(jnp.maximum(jnp.sum(rhs * rhs, axis=0), 1e-30))
+
+    def body(carry, _):
+        x, res, p, rz, x_best, rn_best = carry
+        Ap = matvec(p)
+        pAp = jnp.sum(p * Ap, axis=0)
+        rn = jnp.sqrt(jnp.sum(res * res, axis=0))
+        active = (
+            (rn / b_norm > tol)
+            & (pAp > 0)
+            & jnp.isfinite(pAp)
+            & jnp.isfinite(rz)
+            & (rn < 1e2 * rn_best + 1e-30)
+        )
+        alpha = jnp.where(active, rz / jnp.where(active, pAp, 1.0), 0.0)
+        x = x + alpha[None, :] * p
+        res = res - alpha[None, :] * Ap
+        z = precond(res)
+        rz_new = jnp.sum(res * z, axis=0)
+        rz_new = jnp.where(active, rz_new, rz)
+        beta = jnp.where(active, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
+        p = jnp.where(active[None, :], z + beta[None, :] * p, p)
+        rn_new = jnp.sqrt(jnp.sum(res * res, axis=0))
+        better = rn_new < rn_best
+        x_best = jnp.where(better[None, :], x, x_best)
+        rn_best = jnp.where(better, rn_new, rn_best)
+        return (x, res, p, rz_new, x_best, rn_best), None
+
+    init = (x0, r0, p0, rz0, x0, jnp.sqrt(rz0 * 0 + jnp.sum(r0 * r0, axis=0)))
+    (x, res, _, _, x_best, rn_best), _ = lax.scan(
+        body, init, None, length=num_iters
+    )
+    return x_best, rn_best / b_norm
+
+
 def lanczos_tridiag_from_cg(alphas: jax.Array, betas: jax.Array):
     """Lanczos T (m, m) per RHS from CG coefficients; batched over r.
 

@@ -139,3 +139,45 @@ def test_fit_mle_iterative_improves_lml():
     lml_exact = float(log_marginal_likelihood(k_fit, x, y, noise_fit))
     assert lml_exact > lml0 + 5.0  # genuinely improved (exact check)
     assert np.isfinite(lml_last)
+
+
+def test_pivoted_cholesky_approximates_kernel():
+    kernel, x, y, s = _problem(n=120)
+    L = krylov.pivoted_cholesky(kernel, x, rank=40)
+    K = kernel(x, x)
+    err = float(jnp.max(jnp.abs(L @ L.T - K)))
+    # the SE spectrum decays fast; rank 40 of 120 should be very tight
+    assert err < 1e-6, err
+    # low rank is a genuine approximation, monotone in rank
+    L2 = krylov.pivoted_cholesky(kernel, x, rank=10)
+    err2 = float(jnp.max(jnp.abs(L2 @ L2.T - K)))
+    assert err2 > err
+
+
+def test_pcg_with_preconditioner_converges_faster():
+    kernel, x, y, s = _problem(n=400, noise=0.05)
+    from gaussian_processes_tpu import build_kxx
+
+    K = build_kxx(kernel, x, s)
+    mv = lambda v: K @ v
+    rhs = y[:, None]
+    # plain CG, few iterations
+    plain = krylov.mbcg(mv, rhs, num_iters=25, tol=1e-14)
+    # preconditioned CG, same iterations
+    L = krylov.pivoted_cholesky(kernel, x, rank=60)
+    pre = krylov.woodbury_inverse_apply(L, s ** 2)
+    x_p, rn_p = krylov.pcg(mv, pre, rhs, num_iters=25, tol=1e-14)
+    assert float(rn_p[0]) < 0.01 * float(plain.residual_norm[0])
+    direct = jnp.linalg.solve(K, y)
+    np.testing.assert_allclose(np.asarray(x_p[:, 0]), np.asarray(direct),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_fit_iterative_with_preconditioner():
+    kernel, x, y, s = _problem()
+    post_d = fit(kernel, x, y, s)
+    post_p = fit_iterative(kernel, x, y, s, jax.random.key(0),
+                           num_iters=60, block_size=64, precond_rank=60)
+    np.testing.assert_allclose(np.asarray(post_p.alpha), np.asarray(post_d.alpha),
+                               rtol=1e-5, atol=1e-7)
+    assert float(post_p.solve_residual) < 1e-8
