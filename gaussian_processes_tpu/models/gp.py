@@ -125,10 +125,13 @@ def predict(post: GPPosterior, xo) -> Tuple[jax.Array, jax.Array]:
     (Latent-function covariance; add s^2 I for observation noise.)
     """
     xo = jnp.asarray(xo)
-    Kxox = post.kernel(xo, post.x)
-    mean = Kxox @ post.alpha
-    v = solve_triangular(post.L, Kxox.T, lower=True)
-    cov = post.kernel(xo, xo) - v.T @ v
+    # full-f32 matmuls: TPU's default bf16 multiply noise (~1e-2) is
+    # visible in predictive covariances otherwise
+    with jax.default_matmul_precision("highest"):
+        Kxox = post.kernel(xo, post.x)
+        mean = Kxox @ post.alpha
+        v = solve_triangular(post.L, Kxox.T, lower=True)
+        cov = post.kernel(xo, xo) - v.T @ v
     return mean, cov
 
 
@@ -138,10 +141,11 @@ def predict_diag(post: GPPosterior, xo) -> Tuple[jax.Array, jax.Array]:
     Memory-light path for large xo: var_i = k(xo_i, xo_i) - ||L^-1 k_i||^2.
     """
     xo = jnp.asarray(xo)
-    Kxox = post.kernel(xo, post.x)
-    mean = Kxox @ post.alpha
-    v = solve_triangular(post.L, Kxox.T, lower=True)
-    var = post.kernel.kdiag(xo) - jnp.sum(v * v, axis=0)
+    with jax.default_matmul_precision("highest"):
+        Kxox = post.kernel(xo, post.x)
+        mean = Kxox @ post.alpha
+        v = solve_triangular(post.L, Kxox.T, lower=True)
+        var = post.kernel.kdiag(xo) - jnp.sum(v * v, axis=0)
     return mean, var
 
 

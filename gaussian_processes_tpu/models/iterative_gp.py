@@ -127,7 +127,8 @@ def predict_mean_iterative(post: IterativePosterior, xo, block_size: int = 1024)
     xo_pad = krylov._pad_to(xo, nb * b).reshape(nb, b, *xo.shape[1:])
 
     def step(_, xj):
-        return None, post.kernel(xj, post.x) @ post.alpha
+        with jax.default_matmul_precision("highest"):
+            return None, post.kernel(xj, post.x) @ post.alpha
 
     _, chunks = jax.lax.scan(step, None, xo_pad)
     return chunks.reshape(-1)[:m]
@@ -265,6 +266,7 @@ def log_marginal_value_and_grad_iterative(
     def step(acc, xv):
         xj, aj, zj = xv
         Jj = kernel.jacobian(x, xj)  # (P, n, b)
+        # (einsums below inherit the highest-precision context)
         Ja = acc[0] + jnp.einsum("pnb,b->pn", Jj, aj[:, 0])
         Jz = acc[1] + jnp.einsum("pnb,br->pnr", Jj, zj)
         return (Ja, Jz), None

@@ -76,7 +76,9 @@ def kernel_matvec(
     def step(acc, xv):
         xj, vj = xv
         Kj = kernel(x, xj)  # (n, b) strip, built from registers
-        return acc + Kj @ vj, None
+        # HIGHEST: TPU f32 matmuls otherwise run bf16 multiplies, whose
+        # ~1e-2 noise floor caps CG convergence regardless of iterations
+        return acc + jnp.dot(Kj, vj, precision=lax.Precision.HIGHEST), None
 
     acc0 = jnp.zeros((n, v2.shape[1]), v2.dtype)
     out, _ = lax.scan(step, acc0, (xb, vb))
@@ -170,7 +172,9 @@ def pivoted_cholesky(
         xp = jax.lax.dynamic_index_in_dim(x, piv, 0, keepdims=True)
         c = kernel(x, xp)[:, 0].astype(dtype)  # K[:, piv]
         lp = L[piv]  # (rank,) — columns >= j are still zero
-        l = (c - L @ lp) / jnp.sqrt(jnp.maximum(d[piv], jitter))
+        l = (c - jnp.dot(L, lp, precision=lax.Precision.HIGHEST)) / jnp.sqrt(
+            jnp.maximum(d[piv], jitter)
+        )
         L = L.at[:, j].set(l)
         d = jnp.maximum(d - l * l, 0.0)
         return (L, d)
@@ -189,12 +193,13 @@ def woodbury_inverse_apply(L: jax.Array, sigma2) -> "callable":
 
     k = L.shape[1]
     sigma2 = jnp.asarray(sigma2, L.dtype)
-    M = sigma2 * jnp.eye(k, dtype=L.dtype) + L.T @ L
+    hi = lax.Precision.HIGHEST
+    M = sigma2 * jnp.eye(k, dtype=L.dtype) + jnp.dot(L.T, L, precision=hi)
     cf = cho_factor(M)
 
     def apply(v):
-        Ltv = L.T @ v
-        return (v - L @ cho_solve(cf, Ltv)) / sigma2
+        Ltv = jnp.dot(L.T, v, precision=hi)
+        return (v - jnp.dot(L, cho_solve(cf, Ltv), precision=hi)) / sigma2
 
     return apply
 

@@ -54,6 +54,11 @@ from gaussian_processes_tpu.models.base import Kernel
 from gaussian_processes_tpu.models.gp import _LOG_2PI
 
 
+def _with_highest(fn, *args):
+    with jax.default_matmul_precision("highest"):
+        return fn(*args)
+
+
 def _padded_dims(n: int, n_dev: int, block_size: int) -> Tuple[int, int]:
     """(m, n_pad): number of row/col blocks and padded size."""
     chunk = n_dev * block_size
@@ -174,6 +179,8 @@ def _fit_program(mesh, axis, n, b, m, m_loc, D, jitter):
     n_pad = m * b
 
     def local_fn(kernel, x_pad, y_pad, noise):
+        # full-f32 matmuls: the trailing SYRK updates accumulate across
+        # m panels; bf16 multiplies would poison the factorization
         d = lax.axis_index(axis)
         own_g = d + jnp.arange(m_loc) * D
 
@@ -208,9 +215,10 @@ def _fit_program(mesh, axis, n, b, m, m_loc, D, jitter):
         )
         return A, alpha, lml
 
+    local_fn_hi = lambda *a: _with_highest(local_fn, *a)
     return jax.jit(
         jax.shard_map(
-            local_fn,
+            local_fn_hi,
             mesh=mesh,
             in_specs=(P(), P(), P(), P()),
             out_specs=(P(axis), P(), P()),
@@ -234,9 +242,10 @@ def _predict_program(mesh, axis, mm, b, D, n, r):
         )
         return v.reshape(n_pad, r)
 
+    local_fn_hi = lambda *a: _with_highest(local_fn, *a)
     return jax.jit(
         jax.shard_map(
-            local_fn,
+            local_fn_hi,
             mesh=mesh,
             in_specs=(P(axis), P()),
             out_specs=P(),
