@@ -142,18 +142,28 @@ def predict_diag_iterative(
     tol: float = 1e-8,
     jitter: float = 0.0,
     block_size: int = 1024,
+    precond_rank: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Mean and per-point variance; one CG solve per test batch.
 
     var_i = k(xo_i, xo_i) - k_i^T K^-1 k_i with the m cross-covariance
-    columns solved together by batched CG (memory O(n * m)).
+    columns solved together by (optionally preconditioned) batched CG
+    (memory O(n * m)).
     """
     xo = jnp.asarray(xo)
-    Kxxo = post.kernel(post.x, xo)  # (n, m)
-    mv = _matvec(post.kernel, post.x, post.noise, jitter, block_size)
-    sol = krylov.mbcg(mv, Kxxo, num_iters=num_iters, tol=tol).solution
-    mean = Kxxo.T @ post.alpha
-    var = post.kernel.kdiag(xo) - jnp.sum(Kxxo * sol, axis=0)
+    with jax.default_matmul_precision("highest"):
+        Kxxo = post.kernel(post.x, xo)  # (n, m)
+        mv = _matvec(post.kernel, post.x, post.noise, jitter, block_size)
+        if precond_rank > 0:
+            L = krylov.pivoted_cholesky(post.kernel, post.x, precond_rank)
+            pre = krylov.woodbury_inverse_apply(
+                L, jnp.square(post.noise) + jitter
+            )
+            sol, _ = krylov.pcg(mv, pre, Kxxo, num_iters=num_iters, tol=tol)
+        else:
+            sol = krylov.mbcg(mv, Kxxo, num_iters=num_iters, tol=tol).solution
+        mean = Kxxo.T @ post.alpha
+        var = post.kernel.kdiag(xo) - jnp.sum(Kxxo * sol, axis=0)
     return mean, var
 
 

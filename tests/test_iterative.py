@@ -181,3 +181,15 @@ def test_fit_iterative_with_preconditioner():
     np.testing.assert_allclose(np.asarray(post_p.alpha), np.asarray(post_d.alpha),
                                rtol=1e-5, atol=1e-7)
     assert float(post_p.solve_residual) < 1e-8
+
+
+def test_predict_diag_iterative_preconditioned():
+    kernel, x, y, s = _problem()
+    post_d = fit(kernel, x, y, s)
+    post_i = fit_iterative(kernel, x, y, s, jax.random.key(0),
+                           num_iters=60, block_size=64, precond_rank=60)
+    xo = jnp.asarray(make_xo(25))
+    m_d, v_d = predict_diag(post_d, xo)
+    m_i, v_i = predict_diag_iterative(post_i, xo, num_iters=60, precond_rank=60)
+    np.testing.assert_allclose(np.asarray(m_i), np.asarray(m_d), rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(v_i), np.asarray(v_d), rtol=1e-4, atol=1e-7)
