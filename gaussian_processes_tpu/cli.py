@@ -151,13 +151,23 @@ def run_config(cfg) -> dict:
         )
 
     elif cfg.task == "fit_large":
-        mesh = make_grid_mesh(cfg.mesh.n_devices, cfg.mesh.grid_axes)
-        fn = lambda k, x, y: fit_sharded(k, x, y, cfg.fit.noise, mesh, cfg.fit.jitter)
+        # block-cyclic distributed Cholesky: no device ever holds the full
+        # N x N matrix (XLA's cholesky on a sharded operand gathers it,
+        # which cannot fit at N=65k even across a v5e-8)
+        from gaussian_processes_tpu.parallel import fit_blockcyclic
+
+        mesh = make_chain_mesh(cfg.mesh.n_devices, axis="shard")
+        block = 256 if cfg.data.n >= 4096 else 64
+        fn = lambda k, x, y: fit_blockcyclic(
+            k, x, y, cfg.fit.noise, mesh, block_size=block,
+            jitter=cfg.fit.jitter,
+        )
         with trace(cfg.profile_dir):
             wall = timed(fn, kernel, x, y, warmup=1, iters=2)
         post = fn(kernel, x, y)
         summary = {"fit_wall_s": wall, "log_marginal": float(post.log_marginal),
                    "mesh": str(dict(zip(mesh.axis_names, mesh.devices.shape))),
+                   "block_size": block,
                    **roofline(cfg.data.n, wall, dtype)}
     else:
         raise ValueError(f"unknown task {cfg.task!r}")

@@ -82,3 +82,10 @@ def test_run_config_chees_tiny():
     s = cli.run_config(cfg)
     assert s["n_chains"] == 2 and s["n_samples"] == 10
     assert np.isfinite(s["step_size"])
+
+
+def test_run_config_fit_large_tiny():
+    cfg = _tiny("config4_large_n", data=DataConfig(n=96))
+    s = cli.run_config(cfg)
+    assert np.isfinite(s["log_marginal"])
+    assert "block_size" in s
