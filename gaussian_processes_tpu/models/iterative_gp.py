@@ -85,25 +85,31 @@ def fit_iterative(
     n = x.shape[0]
     dtype = y.dtype
 
-    probes = jax.random.rademacher(key, (n, num_probes), dtype=dtype)
-    rhs = jnp.concatenate([y[:, None], probes], axis=1)
     mv = _matvec(kernel, x, noise, jitter, block_size)
-    res = krylov.mbcg(mv, rhs, num_iters=num_iters, tol=tol)
-
-    alpha = res.solution[:, 0]
-    solve_residual = res.residual_norm[0]
     if precond_rank > 0:
+        # preconditioned path: PCG for alpha, preconditioned SLQ for the
+        # logdet (probes ~ N(0, P), exact logdet(P) correction) — both
+        # stay accurate at conditioning where plain f32 CG stalls
+        probe_key, solve_key = jax.random.split(key)
         L = krylov.pivoted_cholesky(kernel, x, precond_rank)
-        pre = krylov.woodbury_inverse_apply(
-            L, jnp.square(noise) + jitter
-        )
+        sigma2 = jnp.square(noise) + jitter
+        pre = krylov.woodbury_inverse_apply(L, sigma2)
         alpha2, rn = krylov.pcg(mv, pre, y[:, None], num_iters=num_iters, tol=tol)
         alpha = alpha2[:, 0]
         solve_residual = rn[0]
-    probe_norms = jnp.full((num_probes,), float(n), dtype)
-    logdet = krylov.slq_logdet_from_cg(
-        res.alphas[:, 1:], res.betas[:, 1:], probe_norms, n
-    )
+        logdet = krylov.slq_logdet_preconditioned(
+            mv, L, sigma2, probe_key, num_probes, num_iters, n
+        )
+    else:
+        probes = jax.random.rademacher(key, (n, num_probes), dtype=dtype)
+        rhs = jnp.concatenate([y[:, None], probes], axis=1)
+        res = krylov.mbcg(mv, rhs, num_iters=num_iters, tol=tol)
+        alpha = res.solution[:, 0]
+        solve_residual = res.residual_norm[0]
+        probe_norms = jnp.full((num_probes,), float(n), dtype)
+        logdet = krylov.slq_logdet_from_cg(
+            res.alphas[:, 1:], res.betas[:, 1:], probe_norms, n
+        )
     lml = -0.5 * jnp.dot(y, alpha) - 0.5 * logdet - 0.5 * n * _LOG_2PI
     return IterativePosterior(
         kernel=kernel,

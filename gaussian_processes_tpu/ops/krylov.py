@@ -204,12 +204,21 @@ def woodbury_inverse_apply(L: jax.Array, sigma2) -> "callable":
     return apply
 
 
-def pcg(matvec, precond, rhs: jax.Array, num_iters: int, tol: float = 1e-10):
+def pcg(
+    matvec,
+    precond,
+    rhs: jax.Array,
+    num_iters: int,
+    tol: float = 1e-10,
+    return_tridiag: bool = False,
+):
     """Preconditioned CG on (n, r) right-hand sides, fixed iterations.
 
     Same robustness policy as ``mbcg`` (breakdown freeze, best-iterate
-    return); used for the accuracy-critical solves (alpha, predictive
-    variance) while the SLQ logdet keeps the plain-CG tridiagonals.
+    return).  With ``return_tridiag`` the PCG recurrence coefficients are
+    also returned: they form the Lanczos tridiagonal of the
+    preconditioned operator P^-1 A in the P inner product, which is what
+    preconditioned SLQ quadrature needs.
     """
     x0 = jnp.zeros_like(rhs)
     r0 = rhs
@@ -242,13 +251,61 @@ def pcg(matvec, precond, rhs: jax.Array, num_iters: int, tol: float = 1e-10):
         better = rn_new < rn_best
         x_best = jnp.where(better[None, :], x, x_best)
         rn_best = jnp.where(better, rn_new, rn_best)
-        return (x, res, p, rz_new, x_best, rn_best), None
+        return (x, res, p, rz_new, x_best, rn_best), (alpha, beta)
 
-    init = (x0, r0, p0, rz0, x0, jnp.sqrt(rz0 * 0 + jnp.sum(r0 * r0, axis=0)))
-    (x, res, _, _, x_best, rn_best), _ = lax.scan(
+    init = (x0, r0, p0, rz0, x0, jnp.sqrt(jnp.sum(r0 * r0, axis=0)))
+    (x, res, _, _, x_best, rn_best), (alphas, betas) = lax.scan(
         body, init, None, length=num_iters
     )
+    if return_tridiag:
+        return x_best, rn_best / b_norm, alphas, betas
     return x_best, rn_best / b_norm
+
+
+def precond_logdet(L: jax.Array, sigma2, n: int) -> jax.Array:
+    """Exact logdet(L L^T + sigma2 I) via the matrix determinant lemma:
+    logdet = logdet(sigma2 I_k + L^T L) + (n - k) log(sigma2)."""
+    k = L.shape[1]
+    sigma2 = jnp.asarray(sigma2, L.dtype)
+    hi = lax.Precision.HIGHEST
+    M = sigma2 * jnp.eye(k, dtype=L.dtype) + jnp.dot(L.T, L, precision=hi)
+    Lm = jnp.linalg.cholesky(M)
+    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lm))) + (n - k) * jnp.log(sigma2)
+
+
+def sample_precond_probes(key, L: jax.Array, sigma2, num_probes: int):
+    """Draw z ~ N(0, P) with P = L L^T + sigma2 I:  z = L xi1 + sqrt(s2) xi2."""
+    n, k = L.shape
+    k1, k2 = jax.random.split(key)
+    xi1 = jax.random.normal(k1, (k, num_probes), L.dtype)
+    xi2 = jax.random.normal(k2, (n, num_probes), L.dtype)
+    sigma = jnp.sqrt(jnp.asarray(sigma2, L.dtype))
+    return jnp.dot(L, xi1, precision=lax.Precision.HIGHEST) + sigma * xi2
+
+
+def slq_logdet_preconditioned(
+    matvec, L: jax.Array, sigma2, key, num_probes: int, num_iters: int, n: int
+):
+    """SLQ estimate of logdet(A) with pivoted-Cholesky preconditioning.
+
+    logdet(A) = logdet(P) + E_{z ~ N(0, P)}[ (z^T P^-1 z) e1^T log(T) e1 ]
+    with T the PCG Lanczos tridiagonal of P^-1 A for start vector z
+    (the GPyTorch preconditioned-SLQ identity).  logdet(P) is exact.
+    """
+    pre = woodbury_inverse_apply(L, sigma2)
+    probes = sample_precond_probes(key, L, sigma2, num_probes)
+    _, _, alphas, betas = pcg(
+        matvec, pre, probes, num_iters=num_iters, tol=1e-12,
+        return_tridiag=True,
+    )
+    pz = pre(probes)
+    probe_norms = jnp.sum(probes * pz, axis=0)  # z^T P^-1 z, (r,)
+    T = lanczos_tridiag_from_cg(alphas, betas)
+    evals, evecs = jnp.linalg.eigh(T)
+    w = jnp.square(evecs[:, 0, :])
+    quad = jnp.sum(w * jnp.log(jnp.maximum(evals, 1e-30)), axis=-1)
+    est = jnp.mean(probe_norms * quad)
+    return precond_logdet(L, sigma2, n) + est
 
 
 def lanczos_tridiag_from_cg(alphas: jax.Array, betas: jax.Array):

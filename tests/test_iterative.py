@@ -193,3 +193,19 @@ def test_predict_diag_iterative_preconditioned():
     m_i, v_i = predict_diag_iterative(post_i, xo, num_iters=60, precond_rank=60)
     np.testing.assert_allclose(np.asarray(m_i), np.asarray(m_d), rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(np.asarray(v_i), np.asarray(v_d), rtol=1e-4, atol=1e-7)
+
+
+def test_preconditioned_slq_logdet_accuracy():
+    # preconditioned SLQ should estimate the log marginal at least as well
+    # as plain SLQ, and close to the exact value (f64, exactly solvable)
+    kernel, x, y, s = _problem(n=250, noise=0.15)
+    post_d = fit(kernel, x, y, s)
+    lml_exact = float(post_d.log_marginal)
+    post_p = fit_iterative(kernel, x, y, s, jax.random.key(3),
+                           num_probes=32, num_iters=150, block_size=64,
+                           precond_rank=80)
+    lml_p = float(post_p.log_marginal)
+    # the preconditioner captures most of the spectrum exactly, so the
+    # stochastic remainder is small: expect sub-percent agreement
+    assert abs(lml_p - lml_exact) < 0.01 * abs(lml_exact) + 1.0, (
+        lml_p, lml_exact)
