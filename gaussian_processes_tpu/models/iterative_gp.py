@@ -242,12 +242,15 @@ def log_marginal_value_and_grad_iterative(
     tol: float = 1e-8,
     jitter: float = 0.0,
     block_size: int = 1024,
+    precond_rank: int = 0,
 ):
     """(lml_estimate, d lml / d theta) matrix-free, theta = (kernel..., s).
 
     grad_p = 1/2 alpha^T K_p alpha - 1/2 E_z[(K^-1 z)^T K_p z], with the
     Hutchinson expectation over the same Rademacher probes used for the
     logdet, and K_p v computed by strip matvecs of the kernel Jacobian.
+    With ``precond_rank > 0``, all solves run preconditioned CG and the
+    logdet uses the preconditioned-SLQ estimator (large-N f32 regime).
     """
     x = jnp.asarray(x)
     y = jnp.asarray(y)
@@ -261,14 +264,25 @@ def log_marginal_value_and_grad_iterative(
     probes = jax.random.rademacher(key, (n, num_probes), dtype=dtype)
     rhs = jnp.concatenate([y[:, None], probes], axis=1)
     mv = _matvec(kernel, x, noise, jitter, block_size)
-    res = krylov.mbcg(mv, rhs, num_iters=num_iters, tol=tol)
-    alpha = res.solution[:, 0]
-    Kinv_z = res.solution[:, 1:]  # (n, r)
-
-    probe_norms = jnp.full((num_probes,), float(n), dtype)
-    logdet = krylov.slq_logdet_from_cg(
-        res.alphas[:, 1:], res.betas[:, 1:], probe_norms, n
-    )
+    if precond_rank > 0:
+        probe_key, _ = jax.random.split(key)
+        L = krylov.pivoted_cholesky(kernel, x, precond_rank)
+        sigma2 = jnp.square(noise) + jitter
+        pre = krylov.woodbury_inverse_apply(L, sigma2)
+        sol, _ = krylov.pcg(mv, pre, rhs, num_iters=num_iters, tol=tol)
+        alpha = sol[:, 0]
+        Kinv_z = sol[:, 1:]
+        logdet = krylov.slq_logdet_preconditioned(
+            mv, L, sigma2, probe_key, num_probes, num_iters, n
+        )
+    else:
+        res = krylov.mbcg(mv, rhs, num_iters=num_iters, tol=tol)
+        alpha = res.solution[:, 0]
+        Kinv_z = res.solution[:, 1:]  # (n, r)
+        probe_norms = jnp.full((num_probes,), float(n), dtype)
+        logdet = krylov.slq_logdet_from_cg(
+            res.alphas[:, 1:], res.betas[:, 1:], probe_norms, n
+        )
     lml = -0.5 * jnp.dot(y, alpha) - 0.5 * logdet - 0.5 * n * _LOG_2PI
 
     # strip accumulation of J_p-matvecs: J (P, n, b) per column block

@@ -209,3 +209,15 @@ def test_preconditioned_slq_logdet_accuracy():
     # stochastic remainder is small: expect sub-percent agreement
     assert abs(lml_p - lml_exact) < 0.01 * abs(lml_exact) + 1.0, (
         lml_p, lml_exact)
+
+
+def test_iterative_gradient_preconditioned_matches_analytic():
+    kernel, x, y, s = _problem(n=200)
+    _, g_a = log_marginal_value_and_grad(kernel, x, y, s)
+    _, g_p = log_marginal_value_and_grad_iterative(
+        kernel, x, y, s, jax.random.key(1),
+        num_probes=256, num_iters=150, block_size=64, precond_rank=60,
+    )
+    denom = np.maximum(np.abs(np.asarray(g_a)), 1.0)
+    rel = np.abs(np.asarray(g_p) - np.asarray(g_a)) / denom
+    assert np.all(rel < 0.2), (g_p, g_a)

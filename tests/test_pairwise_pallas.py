@@ -10,7 +10,14 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from gaussian_processes_tpu import GaussianKernel, PeriodicKernel, build_kxx
+from gaussian_processes_tpu import (
+    GaussianKernel,
+    Matern32Kernel,
+    Matern52Kernel,
+    PeriodicKernel,
+    RationalQuadraticKernel,
+    build_kxx,
+)
 from gaussian_processes_tpu.ops.pairwise import (
     pairwise_matrix,
     pairwise_matrix_reference,
@@ -21,10 +28,14 @@ def _kernels():
     return [
         GaussianKernel(h=jnp.asarray(1.3), w=jnp.asarray(0.7)),
         PeriodicKernel(h=jnp.asarray(0.9), w=jnp.asarray(1.1), p=jnp.asarray(2.0)),
+        Matern32Kernel(h=jnp.asarray(1.1), w=jnp.asarray(0.9)),
+        Matern52Kernel(h=jnp.asarray(0.8), w=jnp.asarray(1.3)),
+        RationalQuadraticKernel(h=jnp.asarray(1.0), w=jnp.asarray(0.8),
+                                a=jnp.asarray(1.5)),
     ]
 
 
-@pytest.mark.parametrize("kernel", _kernels(), ids=["se", "periodic"])
+@pytest.mark.parametrize("kernel", _kernels(), ids=["se", "periodic", "m32", "m52", "rq"])
 @pytest.mark.parametrize(
     "n,m,block",
     [
@@ -42,7 +53,7 @@ def test_pairwise_matches_jnp_twin(kernel, n, m, block):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-12)
 
 
-@pytest.mark.parametrize("kernel", _kernels(), ids=["se", "periodic"])
+@pytest.mark.parametrize("kernel", _kernels(), ids=["se", "periodic", "m32", "m52", "rq"])
 def test_pairwise_with_noise_diag_matches_build_kxx(kernel):
     rng = np.random.default_rng(1)
     x = jnp.asarray(np.sort(rng.uniform(-3, 3, 200)))
@@ -63,7 +74,7 @@ def test_pairwise_f32():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
 
 
-@pytest.mark.parametrize("kernel", _kernels(), ids=["se", "periodic"])
+@pytest.mark.parametrize("kernel", _kernels(), ids=["se", "periodic", "m32", "m52", "rq"])
 def test_pairwise_jacobian_matches_analytic(kernel):
     from gaussian_processes_tpu.ops.pairwise import pairwise_jacobian
 
@@ -72,10 +83,11 @@ def test_pairwise_jacobian_matches_analytic(kernel):
     x2 = jnp.asarray(np.sort(rng.uniform(-3, 3, 70)))
     got = pairwise_jacobian(kernel, x1, x2, block=(8, 128), interpret=True)
     want = kernel.jacobian(x1, x2)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-9,
+                               atol=1e-14)
 
 
-@pytest.mark.parametrize("kernel", _kernels(), ids=["se", "periodic"])
+@pytest.mark.parametrize("kernel", _kernels(), ids=["se", "periodic", "m32", "m52", "rq"])
 def test_pairwise_hessian_matches_analytic(kernel):
     from gaussian_processes_tpu.ops.pairwise import pairwise_hessian
 
@@ -83,4 +95,5 @@ def test_pairwise_hessian_matches_analytic(kernel):
     x1 = jnp.asarray(np.sort(rng.uniform(-3, 3, 72)))
     got = pairwise_hessian(kernel, x1, x1, block=(8, 128), interpret=True)
     want = kernel.hessian(x1, x1)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-9,
+                               atol=1e-14)
