@@ -8,9 +8,18 @@ NCCL/MPI analogue is needed on TPU.
 from gaussian_processes_tpu.parallel.sharded import (
     ShardedCheesResult,
     ShardedNUTSResult,
-    sample_chees_sharded,
+    ShardedNUTSState,
+    collect_chees_sharded,
+    collect_nuts_sharded,
+    init_chees_sharded,
+    init_nuts_sharded,
     make_chain_mesh,
+    sample_chees_sharded,
     sample_nuts_sharded,
+    shard_put_chees,
+    shard_put_nuts,
+    warmup_chees_sharded,
+    warmup_nuts_sharded,
 )
 from gaussian_processes_tpu.parallel.distributed_gp import (
     fit_sharded,
@@ -37,9 +46,18 @@ __all__ = [
     "is_primary",
     "ShardedCheesResult",
     "ShardedNUTSResult",
+    "ShardedNUTSState",
+    "collect_chees_sharded",
+    "collect_nuts_sharded",
+    "init_chees_sharded",
+    "init_nuts_sharded",
     "sample_chees_sharded",
     "make_chain_mesh",
     "sample_nuts_sharded",
+    "shard_put_chees",
+    "shard_put_nuts",
+    "warmup_chees_sharded",
+    "warmup_nuts_sharded",
     "fit_sharded",
     "make_grid_mesh",
     "predict_diag_sharded",

@@ -47,6 +47,72 @@ def test_ess_ar1_matches_theory():
     assert 0.5 * expected < e < 2.0 * expected
 
 
+def _ess_reference(draws):
+    """Round-1 scalar-loop ESS (one FFT per chain per dim) — kept here as
+    the equivalence oracle for the vectorized implementation."""
+    from gaussian_processes_tpu.inference.diagnostics import (
+        _autocov_fft,
+        _split_chains,
+    )
+
+    x = _split_chains(np.asarray(draws, float))
+    m, c, d = x.shape
+    out = np.empty(d)
+    for k in range(d):
+        acovs = np.stack([_autocov_fft(x[:, j, k]) for j in range(c)])
+        mean_acov = acovs.mean(axis=0)
+        chain_var = acovs[:, 0] * m / (m - 1.0)
+        W = chain_var.mean()
+        B_over_m = x.mean(axis=0)[:, k].var(ddof=1) if c > 1 else 0.0
+        var_plus = W * (m - 1.0) / m + B_over_m
+        if var_plus <= 0 or not np.isfinite(var_plus):
+            out[k] = np.nan
+            continue
+        rho = 1.0 - (W - mean_acov) / var_plus
+        n_pairs = (m - 1) // 2
+        pairs = []
+        for t in range(n_pairs):
+            p = rho[2 * t] + rho[2 * t + 1]
+            if p <= 0:
+                break
+            pairs.append(p)
+        for i in range(1, len(pairs)):
+            pairs[i] = min(pairs[i], pairs[i - 1])
+        tau = -1.0 + 2.0 * float(np.sum(pairs))
+        tau = max(tau, 1.0 / np.log10(m + 10))
+        out[k] = m * c / tau
+    return out
+
+
+def test_vectorized_ess_matches_scalar_reference():
+    for draws in [
+        _iid_draws(S=501, C=3, D=4, seed=9),
+        _ar1_draws(0.8, S=700, C=5, seed=2),
+        _ar1_draws(-0.5, S=256, C=2, seed=3),
+    ]:
+        np.testing.assert_allclose(ess(draws), _ess_reference(draws), rtol=1e-12)
+
+
+def test_vectorized_ess_constant_dim_nan():
+    draws = _iid_draws(S=200, C=4, D=2)
+    draws[:, :, 1] = 3.0  # degenerate dimension -> var_plus == 0 -> nan
+    e = ess(draws)
+    assert np.isfinite(e[0]) and np.isnan(e[1])
+
+
+def test_ess_1024_chains_fast():
+    """VERDICT r1 item 9: 1024-chain x 3-dim summary in well under 1 s."""
+    import time
+
+    rng = np.random.default_rng(0)
+    draws = rng.standard_normal((500, 1024, 3))
+    t0 = time.perf_counter()
+    out = summarize(draws)
+    wall = time.perf_counter() - t0
+    assert np.all(np.isfinite(out["ess"]))
+    assert wall < 1.0, f"1024-chain summarize took {wall:.2f}s"
+
+
 def test_summarize_keys():
     s = summarize(_iid_draws(), wall_s=2.0)
     assert set(s) >= {"mean", "sd", "split_rhat", "ess", "min_ess", "max_rhat",

@@ -92,15 +92,94 @@ def test_sharded_nuts_wrong_chain_count_raises():
         sample_nuts_sharded(log_post, init, jax.random.key(0), mesh=make_chain_mesh(8))
 
 
-def test_sharded_nuts_rejects_chunk_size():
+def test_sharded_nuts_chunked_bit_identical():
+    """Host-level chunking between shard_map dispatches is semantics-free:
+    same carry pytree, shorter executions (VERDICT r1 item 3)."""
     k0, x, y = _problem()
-    log_post = make_log_posterior(k0, x, y)
-    init = jnp.zeros((16, 3))
-    with pytest.raises(ValueError, match="chunk_size"):
-        sample_nuts_sharded(
-            log_post, init, jax.random.key(0),
-            mesh=make_chain_mesh(8), chunk_size=5,
-        )
+    log_post = make_log_posterior(k0, x, y, prior_std=1.5)
+    k1, k2 = jax.random.split(jax.random.key(0))
+    init = init_positions(k0, 0.2, k1, n_chains=16, spread=0.3)
+    mesh = make_chain_mesh(8)
+    kw = dict(mesh=mesh, num_warmup=40, num_samples=30, max_depth=6)
+    res_mono = sample_nuts_sharded(log_post, init, k2, **kw)
+    res_chunk = sample_nuts_sharded(log_post, init, k2, chunk_size=7, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(res_mono.positions), np.asarray(res_chunk.positions)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_mono.final.chains.z), np.asarray(res_chunk.final.chains.z)
+    )
+
+
+def test_sharded_nuts_resume_invariance(tmp_path):
+    """collect(2k) == collect(1k) + checkpoint + resume collect(1k) on the
+    8-device mesh — the sharded-durability gate (SURVEY.md §6.3/§6.4)."""
+    from gaussian_processes_tpu.parallel.sharded import (
+        collect_nuts_sharded,
+        init_nuts_sharded,
+        shard_put_nuts,
+        warmup_nuts_sharded,
+    )
+    from gaussian_processes_tpu.utils.checkpoint import load_pytree, save_pytree
+
+    k0, x, y = _problem()
+    log_post = make_log_posterior(k0, x, y, prior_std=1.5)
+    k1, k2 = jax.random.split(jax.random.key(0))
+    init = init_positions(k0, 0.2, k1, n_chains=16, spread=0.3)
+    mesh = make_chain_mesh(8)
+
+    state = init_nuts_sharded(log_post, init, k2, mesh=mesh)
+    state = warmup_nuts_sharded(log_post, state, 40, mesh=mesh, max_depth=6)
+
+    full = collect_nuts_sharded(log_post, state, 40, mesh=mesh, max_depth=6)
+
+    first = collect_nuts_sharded(log_post, state, 20, mesh=mesh, max_depth=6)
+    path = tmp_path / "sharded_nuts.npz"
+    save_pytree(str(path), first.final)
+    loaded = load_pytree(str(path), like=first.final)
+    resumed_state = shard_put_nuts(loaded, mesh)
+    second = collect_nuts_sharded(
+        log_post, resumed_state, 20, mesh=mesh, max_depth=6
+    )
+
+    glued = np.concatenate(
+        [np.asarray(first.positions), np.asarray(second.positions)]
+    )
+    np.testing.assert_array_equal(np.asarray(full.positions), glued)
+
+
+def test_sharded_chees_resume_invariance(tmp_path):
+    from gaussian_processes_tpu.parallel.sharded import (
+        collect_chees_sharded,
+        init_chees_sharded,
+        shard_put_chees,
+        warmup_chees_sharded,
+    )
+    from gaussian_processes_tpu.utils.checkpoint import load_pytree, save_pytree
+
+    k0, x, y = _problem()
+    log_post = make_log_posterior(k0, x, y, prior_std=1.5)
+    k1, k2 = jax.random.split(jax.random.key(0))
+    init = init_positions(k0, 0.2, k1, n_chains=16, spread=0.3)
+    mesh = make_chain_mesh(8)
+
+    state = init_chees_sharded(log_post, init, k2, mesh=mesh)
+    state = warmup_chees_sharded(log_post, state, 40, mesh=mesh, chunk_size=9)
+
+    full = collect_chees_sharded(log_post, state, 40, mesh=mesh)
+
+    first = collect_chees_sharded(log_post, state, 20, mesh=mesh)
+    path = tmp_path / "sharded_chees.npz"
+    save_pytree(str(path), first.final)
+    loaded = load_pytree(str(path), like=first.final)
+    second = collect_chees_sharded(
+        log_post, shard_put_chees(loaded, mesh), 20, mesh=mesh
+    )
+
+    glued = np.concatenate(
+        [np.asarray(first.positions), np.asarray(second.positions)]
+    )
+    np.testing.assert_array_equal(np.asarray(full.positions), glued)
 
 
 def test_sharded_chees_runs_and_matches_statistics():
