@@ -26,6 +26,7 @@ from gaussian_processes_tpu.inference.gp_model import (
     init_positions,
     make_log_likelihood,
     make_log_posterior,
+    make_log_posterior_iterative,
     n_hypers,
     pack,
     unpack,
@@ -52,6 +53,7 @@ __all__ = [
     "init_positions",
     "make_log_likelihood",
     "make_log_posterior",
+    "make_log_posterior_iterative",
     "n_hypers",
     "pack",
     "unpack",

@@ -81,6 +81,82 @@ def make_log_posterior(
     return log_post
 
 
+def make_log_posterior_iterative(
+    kernel_template: Kernel,
+    x,
+    y,
+    *,
+    probe_key: jax.Array | None = None,
+    prior_mean=0.0,
+    prior_std=2.0,
+    num_probes: int = 8,
+    num_iters: int = 100,
+    tol: float = 1e-6,
+    jitter: float = 0.0,
+    block_size: int = 1024,
+    precond_rank: int = 0,
+) -> Callable:
+    """Matrix-free log posterior over u = log(theta) for NUTS/ChEES.
+
+    The round-2 bridge (VERDICT r1 item 2) between the matrix-free stack
+    (models/iterative_gp.py: PCG solves + SLQ logdet, O(n·block) memory,
+    no N x N array) and the samplers: fully Bayesian hyperparameter
+    inference past the dense-Cholesky wall (~N=2e4/chip), per
+    BASELINE.json's north star crossed with config #4's N=65k.
+
+    Mechanics: a ``jax.custom_vjp`` whose forward runs
+    ``log_marginal_value_and_grad_iterative`` once — value from PCG+SLQ,
+    gradient from the Hutchinson trace identity over the same solves —
+    and stashes the gradient as the residual, so the backward pass is one
+    multiply.  The samplers call ``value_and_grad`` at every leapfrog
+    step, so nothing is wasted.
+
+    **Fixed probes**: ``probe_key`` is frozen at build time and reused on
+    every evaluation, so the sampler targets one *deterministic* surrogate
+    log-density (logdet MC error becomes a fixed O(1/sqrt(num_probes))
+    bias of the surrogate rather than per-step noise that would break
+    detailed balance).  Tests gate the surrogate posterior against the
+    dense one within Monte-Carlo error (tests/test_iterative_posterior.py).
+    """
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    if probe_key is None:
+        probe_key = jax.random.key(20240817)
+    mu = jnp.asarray(prior_mean)
+    sd = jnp.asarray(prior_std)
+    P = kernel_template.n_params
+
+    from gaussian_processes_tpu.models.iterative_gp import (
+        log_marginal_value_and_grad_iterative,
+    )
+
+    def _value_and_grad_u(u):
+        theta = jnp.exp(u)
+        kernel = kernel_template.with_params(theta[:P])
+        lml, g_theta = log_marginal_value_and_grad_iterative(
+            kernel, x, y, theta[P], probe_key,
+            num_probes=num_probes, num_iters=num_iters, tol=tol,
+            jitter=jitter, block_size=block_size, precond_rank=precond_rank,
+        )
+        lp = lml - 0.5 * jnp.sum(jnp.square((u - mu) / sd))
+        g_u = g_theta * theta - (u - mu) / jnp.square(sd)
+        return lp, g_u
+
+    @jax.custom_vjp
+    def log_post(u):
+        return _value_and_grad_u(u)[0]
+
+    def fwd(u):
+        lp, g_u = _value_and_grad_u(u)
+        return lp, g_u
+
+    def bwd(g_u, ct):
+        return (ct * g_u,)
+
+    log_post.defvjp(fwd, bwd)
+    return log_post
+
+
 def init_positions(
     kernel_template: Kernel,
     noise,

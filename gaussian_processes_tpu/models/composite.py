@@ -14,8 +14,9 @@ Composites are pytrees (children as fields), so they jit/grad/vmap like
 leaf kernels; ``params``/``with_params`` expose the concatenated
 hyperparameter vector so the MLE and NUTS layers work unchanged.  The
 elementwise ``k_fn`` is provided as an *instance* method (children carry
-their own sub-parameters), which the predictive-variance path uses; the
-Pallas tile builder requires leaf kernels and raises otherwise.
+their own sub-parameters); the Pallas tile builder composes the
+children's static cores into one fused tile body
+(``ops.pairwise.tile_program``), so composites keep the native path.
 
 No ``sym_K`` for composites — correctness is gated against ``jax.grad``
 and finite differences instead (tests/test_composite.py).
@@ -34,7 +35,11 @@ from gaussian_processes_tpu.models.base import Kernel, pairwise_diff
 class _CompositeKernel(Kernel):
     """Shared plumbing: concatenated params over (k1, k2)."""
 
-    supports_tiled = False
+    @property
+    def supports_tiled(self):  # type: ignore[override]
+        # tiled when the whole tree is tiled: ops/pairwise.tile_program
+        # fuses the children's k_fn cores into one Pallas tile body
+        return bool(self.k1.supports_tiled) and bool(self.k2.supports_tiled)
 
     @property
     def param_names(self):  # type: ignore[override]

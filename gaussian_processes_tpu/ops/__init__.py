@@ -8,7 +8,9 @@ from gaussian_processes_tpu.ops.pairwise import (
     pairwise_hessian,
     pairwise_jacobian,
     pairwise_matrix,
+    pairwise_matrix_ard,
     pairwise_matrix_reference,
+    tile_program,
 )
 from gaussian_processes_tpu.ops import host
 
@@ -16,6 +18,8 @@ __all__ = [
     "pairwise_hessian",
     "pairwise_jacobian",
     "pairwise_matrix",
+    "pairwise_matrix_ard",
     "pairwise_matrix_reference",
+    "tile_program",
     "host",
 ]

@@ -32,17 +32,69 @@ from jax.experimental.pallas import tpu as pltpu
 from gaussian_processes_tpu.models.base import Kernel
 
 
-def _tile_body(kernel_cls, with_diag, block, params_ref, x1_ref, x2_ref, out_ref):
+def tile_program(kernel: Kernel):
+    """(static elementwise fn, params array) for the tile body.
+
+    Leaf kernels return their class ``k_fn``; Sum/Product composites get
+    a *composed* static function built recursively from their (static)
+    structure — the children's ``k_fn`` cores fused into one tile body
+    (SURVEY.md §6.7a / VERDICT r1 item 7b), so a quasi-periodic
+    ``SE * periodic`` builds its covariance in one pass over each tile
+    with no child-matrix intermediates.  The composed function is cached
+    per structure, so jit tracing sees a stable callable and the compile
+    cache hits across calls.
+    """
+    struct = _tile_structure(kernel)
+    fn, _ = _fn_from_structure(struct)
+    return fn, kernel.params
+
+
+def _tile_structure(kernel: Kernel):
+    from gaussian_processes_tpu.models.composite import (
+        ProductKernel,
+        SumKernel,
+    )
+
+    if isinstance(kernel, SumKernel):
+        return ("sum", _tile_structure(kernel.k1), _tile_structure(kernel.k2))
+    if isinstance(kernel, ProductKernel):
+        return ("prod", _tile_structure(kernel.k1), _tile_structure(kernel.k2))
+    if type(kernel).supports_tiled:
+        return ("leaf", type(kernel))
+    raise TypeError(
+        f"{type(kernel).__name__} has no Pallas tile form (needs a static "
+        "k_fn over 1-D differences, or a Sum/Product tree of such kernels); "
+        "ARD kernels use pairwise_matrix_ard"
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _fn_from_structure(struct):
+    kind = struct[0]
+    if kind == "leaf":
+        cls = struct[1]
+        return cls.k_fn, len(cls.param_names)
+    f1, p1 = _fn_from_structure(struct[1])
+    f2, p2 = _fn_from_structure(struct[2])
+    if kind == "sum":
+        def fn(d, *params):
+            return f1(d, *params[:p1]) + f2(d, *params[p1:])
+    else:
+        def fn(d, *params):
+            return f1(d, *params[:p1]) * f2(d, *params[p1:])
+    return fn, p1 + p2
+
+
+def _tile_body(k_fn, n_params, with_diag, block, params_ref, x1_ref, x2_ref, out_ref):
     bm, bn = block
     i = pl.program_id(0)
     j = pl.program_id(1)
-    P = len(kernel_cls.param_names)
-    params = [params_ref[k] for k in range(P)]
+    params = [params_ref[k] for k in range(n_params)]
     d = x1_ref[:] - x2_ref[:]  # (bm, 1) - (1, bn) -> (bm, bn)
-    out = kernel_cls.k_fn(d, *params)
+    out = k_fn(d, *params)
     if with_diag:
         # noise^2 + jitter on the global diagonal of this tile
-        diag = params_ref[P]
+        diag = params_ref[n_params]
         rows = i * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
         cols = j * bn + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
         out = jnp.where(rows == cols, out + diag, out)
@@ -51,10 +103,11 @@ def _tile_body(kernel_cls, with_diag, block, params_ref, x1_ref, x2_ref, out_ref
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kernel_cls", "with_diag", "block", "interpret"),
+    static_argnames=("k_fn", "n_params", "with_diag", "block", "interpret"),
 )
 def _pairwise(
-    kernel_cls,
+    k_fn,
+    n_params,
     params,  # (P,) or (P+1,) with the trailing diagonal term
     x1,  # (n,)
     x2,  # (m,)
@@ -67,7 +120,7 @@ def _pairwise(
     bm, bn = block
     dtype = x1.dtype
     grid = (pl.cdiv(n, bm), pl.cdiv(m, bn))
-    body = functools.partial(_tile_body, kernel_cls, with_diag, block)
+    body = functools.partial(_tile_body, k_fn, n_params, with_diag, block)
     return pl.pallas_call(
         body,
         out_shape=jax.ShapeDtypeStruct((n, m), dtype),
@@ -97,33 +150,119 @@ def pairwise_matrix(
     """K[i, j] = k(x1[i], x2[j]) (+ (noise^2 + jitter) I when noise given).
 
     Drop-in replacement for ``kernel(x1, x2)`` / ``models.gp.build_kxx``
-    built by the Pallas tile kernel.  ``interpret`` defaults to True off
-    TPU so the same code path is testable on CPU.
+    built by the Pallas tile kernel.  Supports leaf kernels and arbitrary
+    Sum/Product trees of them (the children's elementwise cores fuse into
+    one tile body).  ``interpret`` defaults to True off TPU so the same
+    code path is testable on CPU.
     """
-    if not kernel.supports_tiled:
-        raise TypeError(
-            "the Pallas tile builder needs a leaf kernel (static k_fn "
-            "over 1-D differences); evaluate composite/ARD kernels via "
-            "kernel(x1, x2)"
-        )
     x1 = jnp.asarray(x1)
     x2 = jnp.asarray(x2)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    k_fn, params = tile_program(kernel)
+    params = params.astype(x1.dtype)
+    n_params = params.shape[0]
     with_diag = noise is not None
-    params = kernel.params.astype(x1.dtype)
     if with_diag:
         diag = jnp.square(jnp.asarray(noise, x1.dtype)) + jnp.asarray(
             jitter, x1.dtype
         )
         params = jnp.concatenate([params, diag[None]])
     return _pairwise(
-        type(kernel),
+        k_fn,
+        n_params,
         params,
         x1,
         x2,
         with_diag=with_diag,
         block=block,
+        interpret=interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
+# ARD (D-dim inputs) tile builder
+# ---------------------------------------------------------------------------
+
+
+def _ard_tile_body(D, with_diag, block, params_ref, x1_ref, x2_ref, out_ref):
+    """k(x, x') = h^2 exp(-1/2 sum_d (x_d - x'_d)^2 / w_d^2) per tile.
+
+    The squared distance accumulates dimension-by-dimension as rank-2
+    broadcasts — the (bm, bn, D) difference tensor of the jnp path never
+    exists (VERDICT r1 item 5: ARD lost the native path at large N).
+    """
+    bm, bn = block
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    h = params_ref[0]
+    acc = jnp.zeros((bm, bn), out_ref.dtype)
+    for d in range(D):  # D is static and small; unrolled VPU adds
+        w_d = params_ref[1 + d]
+        diff = x1_ref[:, d][:, None] - x2_ref[:, d][None, :]
+        acc = acc + jnp.square(diff / w_d)
+    out = jnp.square(h) * jnp.exp(-0.5 * acc)
+    if with_diag:
+        diag = params_ref[1 + D]
+        rows = i * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 0)
+        cols = j * bn + jax.lax.broadcasted_iota(jnp.int32, (bm, bn), 1)
+        out = jnp.where(rows == cols, out + diag, out)
+    out_ref[:] = out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("D", "with_diag", "block", "interpret")
+)
+def _pairwise_ard(params, x1, x2, *, D, with_diag, block, interpret):
+    n, m = x1.shape[0], x2.shape[0]
+    bm, bn = block
+    grid = (pl.cdiv(n, bm), pl.cdiv(m, bn))
+    body = functools.partial(_ard_tile_body, D, with_diag, block)
+    return pl.pallas_call(
+        body,
+        out_shape=jax.ShapeDtypeStruct((n, m), x1.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((bm, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(params, x1, x2)
+
+
+def pairwise_matrix_ard(
+    kernel,
+    x1,
+    x2,
+    *,
+    noise=None,
+    jitter: float = 0.0,
+    block=(256, 512),
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Tiled covariance for ``ARDGaussianKernel`` over (n, D) inputs."""
+    from gaussian_processes_tpu.models.ard import ARDGaussianKernel
+
+    if not isinstance(kernel, ARDGaussianKernel):
+        raise TypeError("pairwise_matrix_ard expects an ARDGaussianKernel")
+    x1 = jnp.atleast_2d(jnp.asarray(x1))
+    x2 = jnp.atleast_2d(jnp.asarray(x2))
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    D = x1.shape[1]
+    params = kernel.params.astype(x1.dtype)  # (1 + D,)
+    with_diag = noise is not None
+    if with_diag:
+        diag = jnp.square(jnp.asarray(noise, x1.dtype)) + jnp.asarray(
+            jitter, x1.dtype
+        )
+        params = jnp.concatenate([params, diag[None]])
+    return _pairwise_ard(
+        params, x1, x2, D=D, with_diag=with_diag, block=block,
         interpret=interpret,
     )
 
