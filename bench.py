@@ -1,17 +1,26 @@
-"""Driver benchmark: exact-GP fit (kernel build + Cholesky + solve) per chip.
+"""Driver benchmark: the full headline metric set, one JSON line each.
 
-Headline metric (BASELINE.json:2): N=16k kernel-build+Cholesky wall-clock
-on one TPU chip, reported as speedup over the CPU reference
-(benchmarks/cpu_baseline.json, measured on this host by
-benchmarks/cpu_baseline.py — the reference library's f64 numpy/LAPACK hot
-path, SURVEY.md §8).
+Round-2 redesign (VERDICT r1 item 6): the default invocation emits EVERY
+headline metric as successive JSON lines and a final combined line, so
+``BENCH_r{N}.json`` archives the round's real results:
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  1. exact_gp_fit_n16384  — dense fit (build+chol+solve) wall-clock per
+     chip, vs the measured CPU reference (BASELINE.json:2)
+  2. cholesky_blocked_speedup_n16384 — the MXU-blocked factorization vs
+     XLA's, device-time differenced
+  3. iterative_gp_fit_n65536 — matrix-free PCG+SLQ fit (config #4's N on
+     one chip) + its solve residual
+  4. chees_gp_hyper / nuts_gp_hyper — hyperparameter samples/s, 64
+     chains (config #3; ChEES is the throughput sampler, NUTS the
+     correctness reference — BASELINE.md round-2 decision)
+  5. combined — one line with the lot (the driver's single-line record)
 
-Env knobs: BENCH_N (default 16384), BENCH_DTYPE (float32), BENCH_MODE
-(fit | nuts | chees — the sampler modes report hyperparameter samples/s
-at 64 chains, BASELINE.json:9; chees is the tree-free TPU-first sampler).
+Timing protocol (learned the hard way through the axon tunnel): never
+time repeated identical calls — vary the inputs every call and difference
+two in-jit scan lengths so per-call dispatch overhead cancels exactly.
+Sections are independent; a failure prints an "error" line and the rest
+still run.  BENCH_MODE selects a single section (fit | chol | iterative |
+chees | nuts) for quick runs.
 """
 
 import json
@@ -21,12 +30,168 @@ import time
 
 import numpy as np
 
-N = int(os.environ.get("BENCH_N", 16384))
 DTYPE = os.environ.get("BENCH_DTYPE", "float32")
-MODE = os.environ.get("BENCH_MODE", "fit")
+MODE = os.environ.get("BENCH_MODE", "all")
+
+_RESULTS = {}
 
 
-def main_chees():
+def _emit(obj):
+    print(json.dumps(obj), flush=True)
+    if "metric" in obj and "value" in obj:
+        _RESULTS[obj["metric"]] = obj["value"]
+
+
+def _sine_problem(n, seed=0):
+    rng = np.random.default_rng(seed)
+    x = np.sort(rng.uniform(-np.pi, np.pi, n)).astype(DTYPE)
+    y = (np.sin(2 * x) + 0.1 * rng.standard_normal(n)).astype(DTYPE)
+    return x, y
+
+
+def bench_fit():
+    """Dense exact-GP fit at N=16384 (kernel build + Cholesky + solves)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from gaussian_processes_tpu import GaussianKernel, fit
+
+    N = int(os.environ.get("BENCH_N", 16384))
+    x, y = _sine_problem(N)
+    kernel = GaussianKernel(h=jnp.asarray(1.0, DTYPE), w=jnp.asarray(1.0, DTYPE))
+    SHORT, LONG = 1, 5
+
+    def make_chain(iters):
+        @jax.jit
+        def chain(x, y, eps):
+            def step(y, _):
+                post = fit(kernel, x, y, 0.1, jitter=1e-4)
+                return y + eps * post.alpha, post.log_marginal
+            return lax.scan(step, y, None, length=iters)
+        return chain
+
+    c_s, c_l = make_chain(SHORT), make_chain(LONG)
+    eps = jnp.asarray(0.0, DTYPE)
+    scales = iter(np.linspace(1.0, 1.0001, 64).astype(DTYPE))
+
+    def run(c):
+        out = c(x, y * next(scales), eps)
+        jax.block_until_ready(out)
+        return out
+
+    out = run(c_s)
+    assert bool(jnp.all(jnp.isfinite(out[1]))), "non-finite log marginal"
+    run(c_l)
+    ts, tl = [], []
+    for _ in range(3):
+        t0 = time.perf_counter(); run(c_s); ts.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); run(c_l); tl.append(time.perf_counter() - t0)
+    wall = (min(tl) - min(ts)) / (LONG - SHORT)
+
+    vs = None
+    base_path = os.path.join(os.path.dirname(__file__), "benchmarks",
+                             "cpu_baseline.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            base = json.load(f)
+        ref = base.get(str(N))
+        if ref:
+            vs = ref["total_s"] / wall
+    _emit({"metric": f"exact_gp_fit_n{N}_{DTYPE}_wall",
+           "value": round(wall, 6), "unit": "s",
+           "vs_baseline": round(vs, 2) if vs else None})
+
+
+def bench_chol():
+    """Blocked-vs-XLA Cholesky at N=16384, device-time differenced."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from gaussian_processes_tpu.ops.blocked_cholesky import cholesky_blocked
+
+    n = int(os.environ.get("BENCH_CHOL_N", 16384))
+    base = int(os.environ.get("BENCH_CHOL_BASE", 512))
+    x, _ = _sine_problem(n)
+    d = x[:, None] - x[None, :]
+    A = jnp.asarray(np.exp(-0.5 * d * d) + 0.01 * np.eye(n, dtype=np.float32))
+    del d
+    SHORT, LONG = 1, 4
+
+    def make_chain(fn, iters):
+        @jax.jit
+        def chain(A, eps):
+            def step(A, _):
+                L = fn(A)
+                return A + eps * L, jnp.sum(L)
+            return lax.scan(step, A, None, length=iters)
+        return chain
+
+    eps = jnp.asarray(0.0, jnp.float32)
+    scales = iter(np.linspace(1.0, 1.0001, 64).astype(np.float32))
+
+    def device_time(fn):
+        c_s, c_l = make_chain(fn, SHORT), make_chain(fn, LONG)
+
+        def run(c):
+            jax.block_until_ready(c(A * next(scales), eps))
+
+        run(c_s); run(c_l)
+        ts, tl = [], []
+        for _ in range(3):
+            t0 = time.perf_counter(); run(c_s); ts.append(time.perf_counter() - t0)
+            t0 = time.perf_counter(); run(c_l); tl.append(time.perf_counter() - t0)
+        return (min(tl) - min(ts)) / (LONG - SHORT)
+
+    t_xla = device_time(jnp.linalg.cholesky)
+    t_blk = device_time(lambda A: cholesky_blocked(A, base=base))
+    flops = n**3 / 3
+    _emit({"metric": f"cholesky_xla_n{n}_dev", "value": round(t_xla, 5),
+           "unit": "s", "tflops": round(flops / t_xla / 1e12, 1),
+           "vs_baseline": None})
+    _emit({"metric": f"cholesky_blocked{base}_n{n}_dev",
+           "value": round(t_blk, 5), "unit": "s",
+           "tflops": round(flops / t_blk / 1e12, 1),
+           "vs_baseline": round(t_xla / t_blk, 2)})
+
+
+def bench_iterative():
+    """Matrix-free fit at N=65536 — config #4's N on one chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaussian_processes_tpu import GaussianKernel, fit_iterative
+
+    n = int(os.environ.get("BENCH_ITER_N", 65536))
+    x, y = _sine_problem(n)
+    # lengthscale scaled so ~100 points fall within one w: a realistic
+    # large-N regression (w=1 at n=65k is numerically and statistically
+    # degenerate — condition ~ n h^2 / s^2 exceeds f32 CG's reach)
+    w = max(100.0 * 2 * np.pi / n, 1e-3)
+    kernel = GaussianKernel(h=jnp.asarray(1.0, DTYPE), w=jnp.asarray(w, DTYPE))
+
+    iters = int(os.environ.get("BENCH_ITERS", 150))
+    rank = int(os.environ.get("BENCH_PRECOND_RANK", 2048))
+    fit_j = jax.jit(lambda x, y: fit_iterative(
+        kernel, x, y, 0.1, jax.random.key(0),
+        num_probes=8, num_iters=iters, tol=1e-6, jitter=1e-4,
+        block_size=2048, precond_rank=rank,
+    ))
+    out = fit_j(x, y)
+    jax.block_until_ready(out.alpha)
+    assert bool(jnp.isfinite(out.log_marginal)), "non-finite lml estimate"
+    t0 = time.perf_counter()
+    out = fit_j(x, y * np.float32(1.0000001))
+    jax.block_until_ready(out.alpha)
+    wall = time.perf_counter() - t0
+    _emit({"metric": f"iterative_gp_fit_n{n}_{DTYPE}_wall",
+           "value": round(wall, 4), "unit": "s",
+           "residual": float(out.solve_residual),
+           "vs_baseline": None})
+
+
+def _sampler_problem(n=500, n_chains=64):
     import jax
     import jax.numpy as jnp
 
@@ -35,19 +200,24 @@ def main_chees():
         init_positions,
         make_log_posterior,
     )
-    from gaussian_processes_tpu.inference.chees import sample_chees
 
-    n, n_chains, n_samp = 500, 64, 200
-    rng = np.random.default_rng(0)
-    x = np.sort(rng.uniform(-np.pi, np.pi, n)).astype(DTYPE)
-    y = (np.sin(2 * x) + 0.1 * rng.standard_normal(n)).astype(DTYPE)
+    x, y = _sine_problem(n)
     k0 = GaussianKernel(h=jnp.asarray(1.0, DTYPE), w=jnp.asarray(1.0, DTYPE))
     log_post = make_log_posterior(k0, x, y, prior_std=1.5, jitter=1e-5)
     k1, k2 = jax.random.split(jax.random.key(0))
     init = init_positions(k0, 0.2, k1, n_chains=n_chains, spread=0.2,
                           dtype=jnp.dtype(DTYPE))
-    import gaussian_processes_tpu.inference.chees as chees_mod
+    return log_post, init, k2
 
+
+def bench_chees():
+    import jax
+
+    import gaussian_processes_tpu.inference.chees as chees_mod
+    from gaussian_processes_tpu.inference.chees import sample_chees
+
+    n, n_chains, n_samp = 500, 64, 200
+    log_post, init, k2 = _sampler_problem(n, n_chains)
     # warmup once (compiles both phases), then time pure collection by
     # continuing from the warm state with the same chunked scan
     r = sample_chees(log_post, init, k2, num_warmup=200, num_samples=10,
@@ -72,79 +242,18 @@ def main_chees():
         done += 25
     jax.block_until_ready(state.chains.z)
     wall = time.perf_counter() - t0
-    sps = n_samp * n_chains / wall
-    print(json.dumps({
-        "metric": f"chees_gp_hyper_n{n}_c{n_chains}_{DTYPE}",
-        "value": round(sps, 2),
-        "unit": "samples/s",
-        "vs_baseline": None,
-    }))
+    _emit({"metric": f"chees_gp_hyper_n{n}_c{n_chains}_{DTYPE}",
+           "value": round(n_samp * n_chains / wall, 2),
+           "unit": "samples/s", "vs_baseline": None})
 
 
-def main_iterative():
-    """Matrix-free fit at BENCH_N (default 65536) — the beyond-dense path."""
+def bench_nuts():
     import jax
-    import jax.numpy as jnp
 
-    from gaussian_processes_tpu import GaussianKernel, fit_iterative
-
-    n = int(os.environ.get("BENCH_N", 65536))
-    rng = np.random.default_rng(0)
-    x = np.sort(rng.uniform(-np.pi, np.pi, n)).astype(DTYPE)
-    # lengthscale scaled so ~100 points fall within one w: a realistic
-    # large-N regression (w=1 at n=65k is numerically and statistically
-    # degenerate — condition ~ n h^2 / s^2 exceeds f32 CG's reach)
-    w = max(100.0 * 2 * np.pi / n, 1e-3)
-    y = (np.sin(2 * x) + 0.1 * rng.standard_normal(n)).astype(DTYPE)
-    kernel = GaussianKernel(h=jnp.asarray(1.0, DTYPE), w=jnp.asarray(w, DTYPE))
-
-    iters = int(os.environ.get("BENCH_ITERS", 150))
-    rank = int(os.environ.get("BENCH_PRECOND_RANK", 512))
-    fit_j = jax.jit(lambda x, y: fit_iterative(
-        kernel, x, y, 0.1, jax.random.key(0),
-        num_probes=8, num_iters=iters, tol=1e-6, jitter=1e-4, block_size=2048,
-        precond_rank=rank,
-    ))
-    out = fit_j(x, y)
-    jax.block_until_ready(out.alpha)
-    assert bool(jnp.isfinite(out.log_marginal)), "non-finite lml estimate"
-    t0 = time.perf_counter()
-    out = fit_j(x, y)
-    jax.block_until_ready(out.alpha)
-    wall = time.perf_counter() - t0
-    print(json.dumps({
-        "metric": f"iterative_gp_fit_n{n}_{DTYPE}_wall",
-        "value": round(wall, 4),
-        "unit": "s",
-        "vs_baseline": None,
-    }), flush=True)
-    print(f"# residual={float(out.solve_residual):.2e} "
-          f"lml={float(out.log_marginal):.1f}", file=sys.stderr)
-
-
-def main_nuts():
-    import jax
-    import jax.numpy as jnp
-
-    from gaussian_processes_tpu import GaussianKernel
-    from gaussian_processes_tpu.inference import (
-        init_positions,
-        make_log_posterior,
-        sample_nuts,
-    )
-
-    n, n_chains, n_samp = 500, 64, 200
-    rng = np.random.default_rng(0)
-    x = np.sort(rng.uniform(-np.pi, np.pi, n)).astype(DTYPE)
-    y = (np.sin(2 * x) + 0.1 * rng.standard_normal(n)).astype(DTYPE)
-    k0 = GaussianKernel(h=jnp.asarray(1.0, DTYPE), w=jnp.asarray(1.0, DTYPE))
-    log_post = make_log_posterior(k0, x, y, prior_std=1.5, jitter=1e-5)
-    k1, k2 = jax.random.split(jax.random.key(0))
-    init = init_positions(k0, 0.2, k1, n_chains=n_chains, spread=0.2,
-                          dtype=jnp.dtype(DTYPE))
-    # warmup (and compile) once, then time pure collection
     from gaussian_processes_tpu.inference import collect, warmup
 
+    n, n_chains, n_samp = 500, 64, 200
+    log_post, init, k2 = _sampler_problem(n, n_chains)
     # chunked dispatches: a single long device execution trips the dev
     # tunnel's watchdog at this problem size (semantics are unchanged)
     state = warmup(log_post, init, k2, num_warmup=200, max_depth=8,
@@ -153,71 +262,52 @@ def main_nuts():
     r = collect(log_post, state, 10, max_depth=8, chunk_size=10)  # compile
     jax.block_until_ready(r.positions)
     t0 = time.perf_counter()
-    r = collect(log_post, state, n_samp, max_depth=8, chunk_size=10)
+    r = collect(log_post, r.final, n_samp, max_depth=8, chunk_size=10)
     jax.block_until_ready(r.positions)
     wall = time.perf_counter() - t0
-    sps = n_samp * n_chains / wall
-    print(json.dumps({
-        "metric": f"nuts_gp_hyper_n{n}_c{n_chains}_{DTYPE}",
-        "value": round(sps, 2),
-        "unit": "samples/s",
-        "vs_baseline": None,
-    }))
+    _emit({"metric": f"nuts_gp_hyper_n{n}_c{n_chains}_{DTYPE}",
+           "value": round(n_samp * n_chains / wall, 2),
+           "unit": "samples/s", "vs_baseline": None})
+
+
+_SECTIONS = {
+    "fit": bench_fit,
+    "chol": bench_chol,
+    "iterative": bench_iterative,
+    "chees": bench_chees,
+    "nuts": bench_nuts,
+}
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
-
-    from gaussian_processes_tpu import GaussianKernel, fit
-
-    rng = np.random.default_rng(0)
-    x = np.sort(rng.uniform(-np.pi, np.pi, N)).astype(DTYPE)
-    y = (np.sin(2 * x) + 0.1 * rng.standard_normal(N)).astype(DTYPE)
-    kernel = GaussianKernel(h=jnp.asarray(1.0, DTYPE), w=jnp.asarray(1.0, DTYPE))
-
-    # jitter keeps the f32 factorization of the near-low-rank SE matrix
-    # well-posed at large N (SURVEY.md §7 M3 numerics)
-    ITERS = 4
-
-    @jax.jit
-    def fit_chain(kernel, x, y, eps):
-        # scan ITERS dependent fits so per-call dispatch overhead (large
-        # through the dev tunnel) amortizes; the eps*alpha carry makes
-        # iterations data-dependent so XLA cannot collapse the loop
-        # (eps is a runtime 0.0, invisible to the compiler).
-        def step(y, _):
-            post = fit(kernel, x, y, 0.1, jitter=1e-4)
-            return y + eps * post.alpha, post.log_marginal
-        return jax.lax.scan(step, y, None, length=ITERS)
-
-    out = fit_chain(kernel, x, y, jnp.asarray(0.0, DTYPE))  # compile
-    jax.block_until_ready(out)
-    assert bool(jnp.all(jnp.isfinite(out[1]))), "non-finite log marginal"
-
-    walls = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = fit_chain(kernel, x, y, jnp.asarray(0.0, DTYPE))
-        jax.block_until_ready(out)
-        walls.append((time.perf_counter() - t0) / ITERS)
-    wall = min(walls)
-
+    if MODE != "all":
+        _SECTIONS[MODE]()
+        return
+    for name, fn in _SECTIONS.items():
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 - sections are independent
+            print(f"# section {name} failed: {e!r}", file=sys.stderr)
+            _emit({"metric": f"{name}_error", "value": None,
+                   "error": repr(e)[:300]})
+    # final combined line: headline first, everything else alongside
+    fit_key = f"exact_gp_fit_n{int(os.environ.get('BENCH_N', 16384))}_{DTYPE}_wall"
     vs = None
-    base_path = os.path.join(os.path.dirname(__file__), "benchmarks", "cpu_baseline.json")
-    if os.path.exists(base_path):
+    base_path = os.path.join(os.path.dirname(__file__), "benchmarks",
+                             "cpu_baseline.json")
+    if os.path.exists(base_path) and _RESULTS.get(fit_key):
         with open(base_path) as f:
             base = json.load(f)
-        ref = base.get(str(N))
+        ref = base.get(str(int(os.environ.get("BENCH_N", 16384))))
         if ref:
-            vs = ref["total_s"] / wall
-
+            vs = round(ref["total_s"] / _RESULTS[fit_key], 2)
     print(json.dumps({
-        "metric": f"exact_gp_fit_n{N}_{DTYPE}_wall",
-        "value": round(wall, 6),
+        "metric": "headline_suite",
+        "value": _RESULTS.get(fit_key),
         "unit": "s",
-        "vs_baseline": round(vs, 2) if vs else None,
-    }))
+        "vs_baseline": vs,
+        "all": _RESULTS,
+    }), flush=True)
 
 
 if __name__ == "__main__":
@@ -226,14 +316,7 @@ if __name__ == "__main__":
     last_err = None
     for attempt in range(3):
         try:
-            if MODE == "nuts":
-                main_nuts()
-            elif MODE == "chees":
-                main_chees()
-            elif MODE == "iterative":
-                main_iterative()
-            else:
-                main()
+            main()
             break
         except Exception as e:  # noqa: BLE001 - deliberate broad retry
             last_err = e

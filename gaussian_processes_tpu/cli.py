@@ -118,6 +118,9 @@ def run_config(cfg) -> dict:
                     num_warmup=ncfg.num_warmup, num_samples=ncfg.num_samples,
                     max_depth=ncfg.max_depth, target_accept=ncfg.target_accept,
                     init_step_size=ncfg.init_step_size,
+                    # host-chunked dispatch: watchdog-safe and
+                    # checkpointable between chunks (VERDICT r1 item 3)
+                    chunk_size=ncfg.chunk_size,
                 )
             elif cfg.task == "chees":
                 from gaussian_processes_tpu.inference.chees import sample_chees

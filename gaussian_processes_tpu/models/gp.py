@@ -84,7 +84,12 @@ def build_kxx(kernel: Kernel, x: jax.Array, noise, jitter=0.0) -> jax.Array:
 
 def _chol_pieces(kernel, x, y, noise, jitter):
     Kxx = build_kxx(kernel, x, noise, jitter)
-    L = jnp.linalg.cholesky(Kxx)
+    # factorization choice is static (trace-time): XLA's cholesky at
+    # small n / on CPU, the MXU-blocked recursion on TPU at large n
+    # (ops/blocked_cholesky.py; measured in BASELINE.md round 2)
+    from gaussian_processes_tpu.ops.blocked_cholesky import choose_cholesky
+
+    L = choose_cholesky(x.shape[0])(Kxx)
     alpha = solve_triangular(
         L.T, solve_triangular(L, y, lower=True), lower=False
     )

@@ -20,10 +20,12 @@ and turns the solve into a GEMM — the classic ScaLAPACK `trtri+gemm`
 panel trick, which on TPU is the difference between a latency-bound
 triangular solve and an MXU matmul.
 
-Numerics: all matmuls run at ``Precision.HIGHEST`` (6-pass bf16 emulation
-of f32 — the round-1 lesson that default-precision f32 matmuls carry
-~1e-2 bf16 noise applies to SYRK updates doubly, since errors feed back
-into later panels).  The base-case diagonal-block inversion adds a
+Numerics: the SYRK/TRSM bulk runs at ``Precision.HIGH`` (3-pass bf16
+emulation, ~f32-level error) by default, selectable up to ``HIGHEST``
+(6-pass) — never ``DEFAULT``: the round-1 lesson that single-pass-bf16
+f32 matmuls carry ~1e-2 noise applies to SYRK updates doubly, since
+errors feed back into later panels.  The base-case diagonal-block
+inversion adds a
 cond(L_kk)-proportional error only *within* each base panel; diagonal
 blocks of a jittered kernel-matrix factor are far better conditioned
 than the full matrix, and the twin test gates the whole factorization at
@@ -42,9 +44,24 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 from jax.scipy.linalg import solve_triangular
 
 _HIGHEST = lax.Precision.HIGHEST
+
+# Matmul precision for the SYRK/TRSM bulk.  On TPU f32: DEFAULT is a
+# single bf16 pass (~1e-2 noise — unusable for factorizations, the
+# round-1 lesson), HIGH is 3 passes (~f32-level error at ~2x the speed
+# of HIGHEST's 6 passes), HIGHEST is 6 passes.  The factorization's own
+# f32 rounding already dominates at HIGH, so HIGH is the default; the
+# on-chip reconstruction probe (benchmarks/bench_cholesky2.py) and the
+# f64 twin tests gate both settings.
+_PRECISIONS = {
+    "high": lax.Precision.HIGH,
+    "highest": lax.Precision.HIGHEST,
+    "default": lax.Precision.DEFAULT,
+}
 
 
 def _round_up(n: int, m: int) -> int:
@@ -60,10 +77,86 @@ def _split_point(n: int, base: int) -> int:
     return _round_up(n // 2, base)
 
 
-def _base_cholesky(A: jax.Array) -> jax.Array:
-    """Factor one base panel.  XLA's cholesky is fine at this size — the
-    O(N/base) sequential base panels are ~1% of total FLOPs; see
-    ``cholesky_blocked`` for where the time actually goes."""
+def _chol_vmem_body(a_ref, o_ref):
+    """Unblocked Cholesky of one (B, B) SPD tile entirely in VMEM.
+
+    Right-looking column loop: scale column j by 1/sqrt(diag), rank-1
+    update the trailing columns.  The whole tile stays resident in VMEM
+    between the B sequential micro-steps — the HBM round-trips XLA's
+    factorization pays per internal panel never happen.  Upper triangle
+    holds garbage during the loop (each column extraction masks rows < j
+    before use) and is zeroed at the end.
+    """
+    B = a_ref.shape[0]
+    o_ref[:] = a_ref[:]
+    rows1 = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+    cols2 = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+    rows2 = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+
+    def body(j, _):
+        djj = o_ref[pl.ds(j, 1), pl.ds(j, 1)]  # (1, 1)
+        d = jnp.sqrt(djj)
+        col = o_ref[:, pl.ds(j, 1)]  # (B, 1)
+        c = jnp.where(rows1 >= j, col / d, jnp.zeros_like(col))
+        A = o_ref[:]
+        upd = A - c * jnp.transpose(c)  # rank-1 outer via broadcast (VPU)
+        o_ref[:] = jnp.where(cols2 > j, upd, A)
+        o_ref[:, pl.ds(j, 1)] = c
+        return 0
+
+    lax.fori_loop(0, B, body, 0)
+    o_ref[:] = jnp.where(rows2 >= cols2, o_ref[:], jnp.zeros_like(o_ref[:]))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_chol_tile(A: jax.Array, *, interpret: bool) -> jax.Array:
+    B = A.shape[0]
+    return pl.pallas_call(
+        _chol_vmem_body,
+        out_shape=jax.ShapeDtypeStruct((B, B), A.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(A)
+
+
+@jax.custom_vjp
+def _pallas_base_cholesky(A: jax.Array) -> jax.Array:
+    interpret = jax.default_backend() != "tpu"
+    return _pallas_chol_tile(A, interpret=interpret)
+
+
+def _pallas_base_fwd(A):
+    L = _pallas_base_cholesky(A)
+    return L, (L,)
+
+
+def _pallas_base_bwd(res, Lbar):
+    # Pallas kernels carry no AD rule; the base tiles are ~1% of total
+    # FLOPs, so the backward pass simply re-derives the cotangent through
+    # XLA's cholesky on the reconstructed primal input (A = L L^T).
+    (L,) = res
+    A = jnp.matmul(L, L.T, precision=_HIGHEST)
+    _, vjp = jax.vjp(jnp.linalg.cholesky, A)
+    (Abar,) = vjp(Lbar)
+    return (Abar,)
+
+
+_pallas_base_cholesky.defvjp(_pallas_base_fwd, _pallas_base_bwd)
+
+
+def _base_cholesky(A: jax.Array, base_impl: str = "xla") -> jax.Array:
+    """Factor one base panel.
+
+    ``base_impl="xla"``: XLA's cholesky (safe default).
+    ``base_impl="pallas"``: the in-VMEM Pallas column-loop kernel above —
+    the O(N/base) sequential base panels are ~1% of total FLOPs but sit
+    on the critical path between the big SYRK/TRSM matmuls, so their
+    latency matters at small base sizes (measured in
+    benchmarks/bench_cholesky2.py).
+    """
+    if base_impl == "pallas":
+        return _pallas_base_cholesky(A)
     return jnp.linalg.cholesky(A)
 
 
@@ -73,7 +166,7 @@ def _base_inv_lower(L: jax.Array) -> jax.Array:
     return solve_triangular(L, eye, lower=True)
 
 
-def _trsm_right_lt(B: jax.Array, L: jax.Array, base: int) -> jax.Array:
+def _trsm_right_lt(B: jax.Array, L: jax.Array, base: int, prec=_HIGHEST) -> jax.Array:
     """X such that X @ L.T = B, with L lower triangular (n, n), B (m, n).
 
     Recursive: block-forward substitution where every step is a GEMM.
@@ -81,29 +174,29 @@ def _trsm_right_lt(B: jax.Array, L: jax.Array, base: int) -> jax.Array:
     n = L.shape[0]
     if n <= base:
         inv_L = _base_inv_lower(L)
-        return jnp.matmul(B, inv_L.T, precision=_HIGHEST)
+        return jnp.matmul(B, inv_L.T, precision=prec)
     n1 = _split_point(n, base)
     L11 = L[:n1, :n1]
     L21 = L[n1:, :n1]
     L22 = L[n1:, n1:]
-    X1 = _trsm_right_lt(B[:, :n1], L11, base)
-    B2 = B[:, n1:] - jnp.matmul(X1, L21.T, precision=_HIGHEST)
-    X2 = _trsm_right_lt(B2, L22, base)
+    X1 = _trsm_right_lt(B[:, :n1], L11, base, prec)
+    B2 = B[:, n1:] - jnp.matmul(X1, L21.T, precision=prec)
+    X2 = _trsm_right_lt(B2, L22, base, prec)
     return jnp.concatenate([X1, X2], axis=1)
 
 
-def _chol_recursive(A: jax.Array, base: int) -> jax.Array:
+def _chol_recursive(A: jax.Array, base: int, base_impl: str, prec=_HIGHEST) -> jax.Array:
     n = A.shape[0]
     if n <= base:
-        return _base_cholesky(A)
+        return _base_cholesky(A, base_impl)
     n1 = _split_point(n, base)
     A11 = A[:n1, :n1]
     A21 = A[n1:, :n1]
     A22 = A[n1:, n1:]
-    L11 = _chol_recursive(A11, base)
-    L21 = _trsm_right_lt(A21, L11, base)
-    S = A22 - jnp.matmul(L21, L21.T, precision=_HIGHEST)
-    L22 = _chol_recursive(S, base)
+    L11 = _chol_recursive(A11, base, base_impl, prec)
+    L21 = _trsm_right_lt(A21, L11, base, prec)
+    S = A22 - jnp.matmul(L21, L21.T, precision=prec)
+    L22 = _chol_recursive(S, base, base_impl, prec)
     top = jnp.concatenate(
         [L11, jnp.zeros((n1, n - n1), dtype=A.dtype)], axis=1
     )
@@ -111,8 +204,11 @@ def _chol_recursive(A: jax.Array, base: int) -> jax.Array:
     return jnp.concatenate([top, bot], axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("base",))
-def cholesky_blocked(A: jax.Array, *, base: int = 512) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("base", "base_impl", "precision"))
+def cholesky_blocked(
+    A: jax.Array, *, base: int = 512, base_impl: str = "xla",
+    precision: str = "high",
+) -> jax.Array:
     """Lower Cholesky factor of SPD ``A``, MXU-oriented blocked algorithm.
 
     Drop-in for ``jnp.linalg.cholesky`` (returns the lower factor; the
@@ -134,7 +230,7 @@ def cholesky_blocked(A: jax.Array, *, base: int = 512) -> jax.Array:
                 [jnp.zeros((pad, n), A.dtype), jnp.eye(pad, dtype=A.dtype)],
             ]
         )
-    L = _chol_recursive(A, base)
+    L = _chol_recursive(A, base, base_impl, _PRECISIONS[precision])
     return L[:n, :n]
 
 
@@ -145,6 +241,7 @@ def solve_triangular_blocked(
     lower: bool = True,
     trans: bool = False,
     base: int = 512,
+    precision: str = "highest",
 ) -> jax.Array:
     """Triangular solve with the same GEMM-heavy structure.
 
@@ -159,26 +256,27 @@ def solve_triangular_blocked(
     if vec:
         B = B[:, None]
     # L X = B  <=>  X^T L^T = B^T ; L^T X = B  <=>  X^T L = B^T
+    prec = _PRECISIONS[precision]
     if trans:
-        X = _trsm_right_lo(B.T, L, base).T
+        X = _trsm_right_lo(B.T, L, base, prec).T
     else:
-        X = _trsm_right_lt(B.T, L, base).T
+        X = _trsm_right_lt(B.T, L, base, prec).T
     return X[:, 0] if vec else X
 
 
-def _trsm_right_lo(B: jax.Array, L: jax.Array, base: int) -> jax.Array:
+def _trsm_right_lo(B: jax.Array, L: jax.Array, base: int, prec=_HIGHEST) -> jax.Array:
     """X such that X @ L = B, with L lower triangular (back substitution)."""
     n = L.shape[0]
     if n <= base:
         inv_L = _base_inv_lower(L)
-        return jnp.matmul(B, inv_L, precision=_HIGHEST)
+        return jnp.matmul(B, inv_L, precision=prec)
     n1 = _split_point(n, base)
     L11 = L[:n1, :n1]
     L21 = L[n1:, :n1]
     L22 = L[n1:, n1:]
-    X2 = _trsm_right_lo(B[:, n1:], L22, base)
-    B1 = B[:, :n1] - jnp.matmul(X2, L21, precision=_HIGHEST)
-    X1 = _trsm_right_lo(B1, L11, base)
+    X2 = _trsm_right_lo(B[:, n1:], L22, base, prec)
+    B1 = B[:, :n1] - jnp.matmul(X2, L21, precision=prec)
+    X1 = _trsm_right_lo(B1, L11, base, prec)
     return jnp.concatenate([X1, X2], axis=1)
 
 
