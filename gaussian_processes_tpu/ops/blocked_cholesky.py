@@ -94,14 +94,17 @@ def _chol_vmem_body(a_ref, o_ref):
     rows2 = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
 
     def body(j, _):
-        djj = o_ref[pl.ds(j, 1), pl.ds(j, 1)]  # (1, 1)
-        d = jnp.sqrt(djj)
-        col = o_ref[:, pl.ds(j, 1)]  # (B, 1)
-        c = jnp.where(rows1 >= j, col / d, jnp.zeros_like(col))
+        # Mosaic forbids dynamic indexing along the lane (last) dim unless
+        # 128-aligned, so column j is extracted/written via full-width
+        # masked VPU ops: one load, one store, ~6 B^2-element ops per step.
         A = o_ref[:]
+        colmask = cols2 == j
+        djj = jnp.sum(jnp.where(colmask & (rows2 == j), A, 0.0))
+        col = jnp.sum(jnp.where(colmask, A, 0.0), axis=1, keepdims=True)
+        c = jnp.where(rows1 >= j, col / jnp.sqrt(djj), jnp.zeros_like(col))
         upd = A - c * jnp.transpose(c)  # rank-1 outer via broadcast (VPU)
-        o_ref[:] = jnp.where(cols2 > j, upd, A)
-        o_ref[:, pl.ds(j, 1)] = c
+        newA = jnp.where(cols2 > j, upd, A)  # trailing update only
+        o_ref[:] = jnp.where(colmask, c, newA)  # write scaled column j
         return 0
 
     lax.fori_loop(0, B, body, 0)
