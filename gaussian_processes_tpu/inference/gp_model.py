@@ -95,6 +95,7 @@ def make_log_posterior_iterative(
     jitter: float = 0.0,
     block_size: int = 1024,
     precond_rank: int = 0,
+    early_exit: bool = True,
 ) -> Callable:
     """Matrix-free log posterior over u = log(theta) for NUTS/ChEES.
 
@@ -137,6 +138,10 @@ def make_log_posterior_iterative(
             kernel, x, y, theta[P], probe_key,
             num_probes=num_probes, num_iters=num_iters, tol=tol,
             jitter=jitter, block_size=block_size, precond_rank=precond_rank,
+            # preconditioned solves stop at convergence instead of burning
+            # the full budget — a per-leapfrog wall-clock saver; results
+            # are bit-identical to the fixed scan (masked freeze)
+            early_exit=early_exit and precond_rank > 0,
         )
         lp = lml - 0.5 * jnp.sum(jnp.square((u - mu) / sd))
         g_u = g_theta * theta - (u - mu) / jnp.square(sd)

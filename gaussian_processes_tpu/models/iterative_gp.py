@@ -243,6 +243,7 @@ def log_marginal_value_and_grad_iterative(
     jitter: float = 0.0,
     block_size: int = 1024,
     precond_rank: int = 0,
+    early_exit: bool = False,
 ):
     """(lml_estimate, d lml / d theta) matrix-free, theta = (kernel..., s).
 
@@ -269,7 +270,8 @@ def log_marginal_value_and_grad_iterative(
         L = krylov.pivoted_cholesky(kernel, x, precond_rank)
         sigma2 = jnp.square(noise) + jitter
         pre = krylov.woodbury_inverse_apply(L, sigma2)
-        sol, _ = krylov.pcg(mv, pre, rhs, num_iters=num_iters, tol=tol)
+        sol, _ = krylov.pcg(mv, pre, rhs, num_iters=num_iters, tol=tol,
+                            early_exit=early_exit)
         alpha = sol[:, 0]
         Kinv_z = sol[:, 1:]
         logdet = krylov.slq_logdet_preconditioned(

@@ -77,38 +77,68 @@ def _split_point(n: int, base: int) -> int:
     return _round_up(n // 2, base)
 
 
-def _chol_vmem_body(a_ref, o_ref):
-    """Unblocked Cholesky of one (B, B) SPD tile entirely in VMEM.
+_MICRO = 128  # lane width: micro-panel column count
 
-    Right-looking column loop: scale column j by 1/sqrt(diag), rank-1
-    update the trailing columns.  The whole tile stays resident in VMEM
-    between the B sequential micro-steps — the HBM round-trips XLA's
-    factorization pays per internal panel never happen.  Upper triangle
-    holds garbage during the loop (each column extraction masks rows < j
-    before use) and is zeroed at the end.
+
+def _chol_vmem_body(a_ref, o_ref):
+    """Blocked Cholesky of one (B, B) SPD tile entirely in VMEM.
+
+    Two-level structure chosen for the VPU/MXU split and Mosaic's
+    lane-alignment rules (no dynamic indexing along the last dim unless
+    128-aligned):
+
+    * the tile is processed in static 128-column micro-panels; panel
+      offsets are Python-static, so panel loads/stores and the trailing
+      updates are plain static slices;
+    * within a panel, a value-carried column loop does the sequential
+      work on a (B, 128) register block — masked extraction of column j,
+      scale by 1/sqrt(pivot), rank-1 update of the panel's remaining
+      columns via a (B,1)x(1,128) broadcast (the pivot row segment is a
+      static slice because the panel offset is static);
+    * after each panel, one (B,128)x(128,B-p-128) MXU matmul applies the
+      trailing update for all later columns at once.
+
+    The whole tile stays resident in VMEM between micro-steps — the HBM
+    round-trips XLA's factorization pays per internal panel never happen.
+    Columns are written already zeroed above their pivot, so no final
+    triangle cleanup is needed.
     """
     B = a_ref.shape[0]
+    assert B % _MICRO == 0, "tile size must be a multiple of 128"
     o_ref[:] = a_ref[:]
-    rows1 = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
-    cols2 = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
-    rows2 = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+    rows_b1 = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+    cols_bm = jax.lax.broadcasted_iota(jnp.int32, (B, _MICRO), 1)
 
-    def body(j, _):
-        # Mosaic forbids dynamic indexing along the lane (last) dim unless
-        # 128-aligned, so column j is extracted/written via full-width
-        # masked VPU ops: one load, one store, ~6 B^2-element ops per step.
-        A = o_ref[:]
-        colmask = cols2 == j
-        djj = jnp.sum(jnp.where(colmask & (rows2 == j), A, 0.0))
-        col = jnp.sum(jnp.where(colmask, A, 0.0), axis=1, keepdims=True)
-        c = jnp.where(rows1 >= j, col / jnp.sqrt(djj), jnp.zeros_like(col))
-        upd = A - c * jnp.transpose(c)  # rank-1 outer via broadcast (VPU)
-        newA = jnp.where(cols2 > j, upd, A)  # trailing update only
-        o_ref[:] = jnp.where(colmask, c, newA)  # write scaled column j
-        return 0
+    for p in range(0, B, _MICRO):  # static unroll over micro-panels
+        panel = o_ref[:, p : p + _MICRO]  # (B, 128) value
 
-    lax.fori_loop(0, B, body, 0)
-    o_ref[:] = jnp.where(rows2 >= cols2, o_ref[:], jnp.zeros_like(o_ref[:]))
+        def body(j, P, p=p):
+            colmask = cols_bm == j
+            pivot_row = p + j
+            djj = jnp.sum(jnp.where(colmask & (rows_b1 == pivot_row), P, 0.0))
+            col = jnp.sum(jnp.where(colmask, P, 0.0), axis=1, keepdims=True)
+            c = jnp.where(
+                rows_b1 >= pivot_row, col / jnp.sqrt(djj), jnp.zeros_like(col)
+            )
+            # rank-1 update of the panel's later columns: the factor row
+            # segment c[p : p+128] is a static slice of the column vector
+            r = jnp.transpose(c[p : p + _MICRO, :])  # (1, 128)
+            upd = P - c * r
+            newP = jnp.where(cols_bm > j, upd, P)
+            return jnp.where(colmask, c, newP)
+
+        panel = lax.fori_loop(0, _MICRO, body, panel)
+        o_ref[:, p : p + _MICRO] = panel
+
+        if p + _MICRO < B:
+            # trailing MXU update for every later column in one matmul
+            tail = o_ref[:, p + _MICRO :]
+            o_ref[:, p + _MICRO :] = tail - jnp.dot(
+                panel,
+                jnp.transpose(panel[p + _MICRO :, :]),
+                preferred_element_type=tail.dtype,
+                precision=lax.Precision.HIGHEST,  # errors feed later panels
+            )
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -211,6 +211,7 @@ def pcg(
     num_iters: int,
     tol: float = 1e-10,
     return_tridiag: bool = False,
+    early_exit: bool = False,
 ):
     """Preconditioned CG on (n, r) right-hand sides, fixed iterations.
 
@@ -219,7 +220,17 @@ def pcg(
     also returned: they form the Lanczos tridiagonal of the
     preconditioned operator P^-1 A in the P inner product, which is what
     preconditioned SLQ quadrature needs.
+
+    ``early_exit=True`` runs the same masked body under a while_loop that
+    stops once every column has converged (or broken down).  The result
+    is bit-identical to the fixed-length scan — converged columns are
+    frozen either way — but a sampler paying a CG solve per leapfrog
+    step stops at convergence instead of burning the full budget.  Not
+    differentiable (use the fixed scan or a custom_vjp around it) and
+    incompatible with ``return_tridiag``.
     """
+    if early_exit and return_tridiag:
+        raise ValueError("early_exit does not collect tridiagonals")
     x0 = jnp.zeros_like(rhs)
     r0 = rhs
     z0 = precond(r0)
@@ -254,6 +265,24 @@ def pcg(
         return (x, res, p, rz_new, x_best, rn_best), (alpha, beta)
 
     init = (x0, r0, p0, rz0, x0, jnp.sqrt(jnp.sum(r0 * r0, axis=0)))
+    if early_exit:
+        def cond(state):
+            i, (x, res, p, rz, x_best, rn_best) = state
+            rn = jnp.sqrt(jnp.sum(res * res, axis=0))
+            any_active = jnp.any(
+                (rn / b_norm > tol) & (rn < 1e2 * rn_best + 1e-30)
+            )
+            return (i < num_iters) & any_active
+
+        def wbody(state):
+            i, carry = state
+            carry, _ = body(carry, None)
+            return i + 1, carry
+
+        _, (x, res, _, _, x_best, rn_best) = lax.while_loop(
+            cond, wbody, (jnp.zeros((), jnp.int32), init)
+        )
+        return x_best, rn_best / b_norm
     (x, res, _, _, x_best, rn_best), (alphas, betas) = lax.scan(
         body, init, None, length=num_iters
     )
