@@ -30,7 +30,7 @@ from gaussian_processes_tpu.inference.chees import sample_chees
 from gaussian_processes_tpu.inference.diagnostics import summarize
 
 
-def main(n=400, n_chains=8):
+def main(n=250, n_chains=4):
     rng = np.random.default_rng(0)
     x = np.sort(rng.uniform(-np.pi, np.pi, n))
     y = np.sin(2 * x) + 0.1 * rng.standard_normal(n)
@@ -39,17 +39,17 @@ def main(n=400, n_chains=8):
     log_post = make_log_posterior_iterative(
         k0, x, y,
         prior_std=1.5, jitter=1e-8,
-        num_probes=16,      # SLQ probes: fixed at build time
-        num_iters=80,       # CG budget per leapfrog step
+        num_probes=12,      # SLQ probes: fixed at build time
+        num_iters=60,       # CG budget per leapfrog step
         tol=1e-8,
         block_size=1024,    # kernel strip width (memory knob)
-        precond_rank=0,     # raise at large N (pivoted-Cholesky PCG)
+        precond_rank=50,    # pivoted-Cholesky PCG (scale ~3*range/w at large N)
     )
 
     k1, k2 = jax.random.split(jax.random.key(0))
     init = init_positions(k0, 0.15, k1, n_chains=n_chains, spread=0.2)
     res = sample_chees(
-        log_post, init, k2, num_warmup=200, num_samples=200, max_leapfrog=64
+        log_post, init, k2, num_warmup=150, num_samples=150, max_leapfrog=48
     )
 
     draws = np.exp(np.asarray(res.positions)).reshape(-1, 3)
