@@ -199,7 +199,16 @@ def _base_inv_lower(L: jax.Array) -> jax.Array:
     return solve_triangular(L, eye, lower=True)
 
 
-def _trsm_right_lt(B: jax.Array, L: jax.Array, base: int, prec=_HIGHEST) -> jax.Array:
+def _assemble_cols(B, X1, X2, n1, assembly):
+    if assembly == "update":
+        # preallocate-and-write: XLA can lower .at[].set into in-place
+        # dynamic-update-slices, avoiding the concat's extra copies
+        return jnp.zeros_like(B).at[:, :n1].set(X1).at[:, n1:].set(X2)
+    return jnp.concatenate([X1, X2], axis=1)
+
+
+def _trsm_right_lt(B: jax.Array, L: jax.Array, base: int, prec=_HIGHEST,
+                   assembly: str = "concat") -> jax.Array:
     """X such that X @ L.T = B, with L lower triangular (n, n), B (m, n).
 
     Recursive: block-forward substitution where every step is a GEMM.
@@ -212,13 +221,14 @@ def _trsm_right_lt(B: jax.Array, L: jax.Array, base: int, prec=_HIGHEST) -> jax.
     L11 = L[:n1, :n1]
     L21 = L[n1:, :n1]
     L22 = L[n1:, n1:]
-    X1 = _trsm_right_lt(B[:, :n1], L11, base, prec)
+    X1 = _trsm_right_lt(B[:, :n1], L11, base, prec, assembly)
     B2 = B[:, n1:] - jnp.matmul(X1, L21.T, precision=prec)
-    X2 = _trsm_right_lt(B2, L22, base, prec)
-    return jnp.concatenate([X1, X2], axis=1)
+    X2 = _trsm_right_lt(B2, L22, base, prec, assembly)
+    return _assemble_cols(B, X1, X2, n1, assembly)
 
 
-def _chol_recursive(A: jax.Array, base: int, base_impl: str, prec=_HIGHEST) -> jax.Array:
+def _chol_recursive(A: jax.Array, base: int, base_impl: str, prec=_HIGHEST,
+                    assembly: str = "concat") -> jax.Array:
     n = A.shape[0]
     if n <= base:
         return _base_cholesky(A, base_impl)
@@ -226,10 +236,15 @@ def _chol_recursive(A: jax.Array, base: int, base_impl: str, prec=_HIGHEST) -> j
     A11 = A[:n1, :n1]
     A21 = A[n1:, :n1]
     A22 = A[n1:, n1:]
-    L11 = _chol_recursive(A11, base, base_impl, prec)
-    L21 = _trsm_right_lt(A21, L11, base, prec)
+    L11 = _chol_recursive(A11, base, base_impl, prec, assembly)
+    L21 = _trsm_right_lt(A21, L11, base, prec, assembly)
     S = A22 - jnp.matmul(L21, L21.T, precision=prec)
-    L22 = _chol_recursive(S, base, base_impl, prec)
+    L22 = _chol_recursive(S, base, base_impl, prec, assembly)
+    if assembly == "update":
+        out = jnp.zeros_like(A)
+        out = out.at[:n1, :n1].set(L11)
+        out = out.at[n1:, :n1].set(L21)
+        return out.at[n1:, n1:].set(L22)
     top = jnp.concatenate(
         [L11, jnp.zeros((n1, n - n1), dtype=A.dtype)], axis=1
     )
@@ -237,10 +252,13 @@ def _chol_recursive(A: jax.Array, base: int, base_impl: str, prec=_HIGHEST) -> j
     return jnp.concatenate([top, bot], axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("base", "base_impl", "precision"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("base", "base_impl", "precision", "assembly"),
+)
 def cholesky_blocked(
     A: jax.Array, *, base: int = 512, base_impl: str = "xla",
-    precision: str = "high",
+    precision: str = "high", assembly: str = "concat",
 ) -> jax.Array:
     """Lower Cholesky factor of SPD ``A``, MXU-oriented blocked algorithm.
 
@@ -263,7 +281,7 @@ def cholesky_blocked(
                 [jnp.zeros((pad, n), A.dtype), jnp.eye(pad, dtype=A.dtype)],
             ]
         )
-    L = _chol_recursive(A, base, base_impl, _PRECISIONS[precision])
+    L = _chol_recursive(A, base, base_impl, _PRECISIONS[precision], assembly)
     return L[:n, :n]
 
 
