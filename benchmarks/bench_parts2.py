@@ -23,12 +23,12 @@ def main():
     n = 16384
     base = 512
     hi = lax.Precision.HIGH
-    SHORT, LONG = 1, 3
+    SHORT, LONG = 1, 5
 
     def timed(make_chain, arg):
         c_s, c_l = make_chain(SHORT), make_chain(LONG)
         eps = jnp.asarray(0.0, jnp.float32)
-        scales = iter(np.linspace(1.0, 1.001, 64).astype(np.float32))
+        scales = iter((1.0 + 1e-3 * np.random.default_rng().random(64)).astype(np.float32))
 
         def run(c):
             jax.block_until_ready(c(arg * next(scales), eps))
@@ -105,6 +105,22 @@ def main():
     t = timed(make_skel, A)
     print(json.dumps({"part": f"skeleton_at_assembly_n{n}",
                       "dev_s": round(t, 5)}), flush=True)
+
+    # 3. the real factorization with update-assembly vs concat
+    for asm in ["update", "concat"]:
+        def make_full(iters, asm=asm):
+            @jax.jit
+            def chain(A, eps):
+                def step(A, _):
+                    L = bc.cholesky_blocked(A, base=base, precision="high",
+                                            assembly=asm)
+                    return A + eps * L, jnp.sum(L)
+                return lax.scan(step, A, None, length=iters)
+            return chain
+
+        t = timed(make_full, A)
+        print(json.dumps({"part": f"full_blocked{base}_high_{asm}_n{n}",
+                          "dev_s": round(t, 5)}), flush=True)
 
 
 if __name__ == "__main__":

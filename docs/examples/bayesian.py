@@ -20,7 +20,7 @@ from gaussian_processes_tpu.inference import (
 from gaussian_processes_tpu.utils import load_pytree, save_pytree
 
 
-def main(n=200, n_chains=64, seed=0):
+def main(n=200, n_chains=16, seed=0):
     rng = np.random.default_rng(seed)
     x = np.sort(rng.uniform(-np.pi, np.pi, n))
     y = np.sin(2 * x) + 0.1 * rng.standard_normal(n)
@@ -33,13 +33,13 @@ def main(n=200, n_chains=64, seed=0):
     init = init_positions(kernel, 0.2, k_init, n_chains=n_chains, spread=0.2)
 
     # warmup once...
-    state = warmup(log_post, init, k_run, num_warmup=300, max_depth=8)
+    state = warmup(log_post, init, k_run, num_warmup=200, max_depth=8)
     # ...collect in two halves with a checkpoint between (resume is
     # bit-identical to one continuous run)
-    first = collect(log_post, state, 250, max_depth=8)
+    first = collect(log_post, state, 150, max_depth=8)
     save_pytree("/tmp/gp_sampler.npz", first.final)
     second = collect(log_post, load_pytree("/tmp/gp_sampler.npz", first.final),
-                     250, max_depth=8)
+                     150, max_depth=8)
 
     draws = np.concatenate(
         [np.asarray(first.positions), np.asarray(second.positions)]
