@@ -49,113 +49,132 @@ def _sine_problem(n, seed=0):
     return x, y
 
 
+def _dispatch_floor(jax, jnp):
+    """Median wall of a trivial device round trip (fresh values each call).
+
+    The per-call cost any program pays through the tunnel (~30 ms);
+    subtracted from probe walls to estimate device time.  Fresh random
+    inputs per call — the tunnel replays repeated (program, value) pairs
+    without touching the chip.
+    """
+    import uuid
+
+    nonce = float(int(uuid.uuid4()) % 1000003) * 1e-30
+    f = jax.jit(lambda a: jnp.sum(a) + nonce)
+    rng = np.random.default_rng()
+    walls = []
+    for i in range(4):
+        a = jnp.asarray(rng.standard_normal((8, 128)).astype(np.float32))
+        jax.block_until_ready(a)
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(a))
+        if i > 0:
+            walls.append(time.perf_counter() - t0)
+    return float(np.median(walls))
+
+
+def _probe_walls(jax, fn, inputs):
+    """Median wall over fresh-valued calls; call 0 is the compile."""
+    walls = []
+    for i, a in enumerate(inputs):
+        jax.block_until_ready(a)
+        t0 = time.perf_counter()
+        out = fn(*a) if isinstance(a, tuple) else fn(a)
+        jax.block_until_ready(out)
+        if i > 0:
+            walls.append(time.perf_counter() - t0)
+    return float(np.median(walls)), out
+
+
 def bench_fit():
-    """Dense exact-GP fit at N=16384 (kernel build + Cholesky + solves)."""
+    """Dense exact-GP fit at N=16384 (kernel build + Cholesky + solves).
+
+    Probe protocol (round-2 final): per-call walls on fresh input values
+    minus the measured dispatch floor.  The earlier scan-differencing
+    protocols returned physically impossible numbers through the tunnel
+    (long and short chains reported equal walls); per-call probing with
+    value variation is the one method that has stayed consistent with
+    on-device checks (benchmarks/probe_chol3.py).
+    """
+    import uuid
+
     import jax
     import jax.numpy as jnp
-    from jax import lax
 
     from gaussian_processes_tpu import GaussianKernel, fit
 
     N = int(os.environ.get("BENCH_N", 16384))
     x, y = _sine_problem(N)
     kernel = GaussianKernel(h=jnp.asarray(1.0, DTYPE), w=jnp.asarray(1.0, DTYPE))
-    SHORT, LONG = 1, 5
+    nonce = float(int(uuid.uuid4()) % 1000003) * 1e-30
 
-    def make_chain(iters):
-        @jax.jit
-        def chain(x, y, eps):
-            # the carry must perturb x, not just y: a y-only carry leaves
-            # the kernel build + Cholesky loop-invariant and XLA hoists
-            # them out of the scan (the round-1 bench measured mostly the
-            # solves because of this). eps is a runtime 0.0, so the
-            # semantics are unchanged while the whole fit stays in-loop.
-            def step(x, _):
-                post = fit(kernel, x, y, 0.1, jitter=1e-4)
-                return x + eps * post.alpha, post.log_marginal
-            return lax.scan(step, x, None, length=iters)
-        return chain
+    @jax.jit
+    def f(x, y):
+        post = fit(kernel, x, y, 0.1, jitter=1e-4)
+        return post.log_marginal + nonce
 
-    c_s, c_l = make_chain(SHORT), make_chain(LONG)
-    eps = jnp.asarray(0.0, DTYPE)
-    scales = iter(np.linspace(1.0, 1.0001, 64).astype(DTYPE))
-
-    def run(c):
-        out = c(x * next(scales), y, eps)
-        jax.block_until_ready(out)
-        return out
-
-    out = run(c_s)
-    assert bool(jnp.all(jnp.isfinite(out[1]))), "non-finite log marginal"
-    run(c_l)
-    ts, tl = [], []
-    for _ in range(3):
-        t0 = time.perf_counter(); run(c_s); ts.append(time.perf_counter() - t0)
-        t0 = time.perf_counter(); run(c_l); tl.append(time.perf_counter() - t0)
-    wall = (min(tl) - min(ts)) / (LONG - SHORT)
+    rng = np.random.default_rng()
+    inputs = [
+        (jnp.asarray(x * np.float32(1.0 + rng.random() * 1e-3)),
+         jnp.asarray(y))
+        for _ in range(4)
+    ]
+    floor = _dispatch_floor(jax, jnp)
+    med, out = _probe_walls(jax, f, inputs)
+    assert bool(jnp.isfinite(out)), "non-finite log marginal"
+    wall = max(med - floor, 0.0)
 
     vs = None
     base_path = os.path.join(os.path.dirname(__file__), "benchmarks",
                              "cpu_baseline.json")
     if os.path.exists(base_path):
-        with open(base_path) as f:
-            base = json.load(f)
+        with open(base_path) as f2:
+            base = json.load(f2)
         ref = base.get(str(N))
         if ref:
             vs = ref["total_s"] / wall
     _emit({"metric": f"exact_gp_fit_n{N}_{DTYPE}_wall",
            "value": round(wall, 6), "unit": "s",
+           "wall_raw": round(med, 6), "floor": round(floor, 6),
            "vs_baseline": round(vs, 2) if vs else None})
 
 
 def bench_chol():
-    """Blocked-vs-XLA Cholesky at N=16384, device-time differenced."""
+    """Blocked-vs-XLA Cholesky at N=16384, probe protocol (see bench_fit)."""
+    import uuid
+
     import jax
     import jax.numpy as jnp
-    from jax import lax
 
     from gaussian_processes_tpu.ops.blocked_cholesky import cholesky_blocked
 
     n = int(os.environ.get("BENCH_CHOL_N", 16384))
     base = int(os.environ.get("BENCH_CHOL_BASE", 512))
+    algo = os.environ.get("BENCH_CHOL_ALGO", "leftlook")
     x, _ = _sine_problem(n)
     d = x[:, None] - x[None, :]
-    A = jnp.asarray(np.exp(-0.5 * d * d) + 0.01 * np.eye(n, dtype=np.float32))
+    A0 = np.exp(-0.5 * d * d) + 0.01 * np.eye(n, dtype=np.float32)
     del d
-    SHORT, LONG = 1, 4
+    nonce = float(int(uuid.uuid4()) % 1000003) * 1e-30
+    rng = np.random.default_rng()
+    floor = _dispatch_floor(jax, jnp)
 
-    def make_chain(fn, iters):
-        @jax.jit
-        def chain(A, eps):
-            def step(A, _):
-                L = fn(A)
-                return A + eps * L, jnp.sum(L)
-            return lax.scan(step, A, None, length=iters)
-        return chain
+    def probe(fn):
+        jfn = jax.jit(lambda A: jnp.sum(fn(A)) + nonce)
+        inputs = [
+            jnp.asarray(A0 * np.float32(1.0 + rng.random() * 1e-3))
+            for _ in range(4)
+        ]
+        med, _ = _probe_walls(jax, jfn, inputs)
+        return max(med - floor, 1e-9)
 
-    eps = jnp.asarray(0.0, jnp.float32)
-    scales = iter(np.linspace(1.0, 1.0001, 64).astype(np.float32))
-
-    def device_time(fn):
-        c_s, c_l = make_chain(fn, SHORT), make_chain(fn, LONG)
-
-        def run(c):
-            jax.block_until_ready(c(A * next(scales), eps))
-
-        run(c_s); run(c_l)
-        ts, tl = [], []
-        for _ in range(3):
-            t0 = time.perf_counter(); run(c_s); ts.append(time.perf_counter() - t0)
-            t0 = time.perf_counter(); run(c_l); tl.append(time.perf_counter() - t0)
-        return (min(tl) - min(ts)) / (LONG - SHORT)
-
-    t_xla = device_time(jnp.linalg.cholesky)
-    t_blk = device_time(lambda A: cholesky_blocked(A, base=base))
+    t_xla = probe(jnp.linalg.cholesky)
+    t_blk = probe(lambda A: cholesky_blocked(A, base=base, algo=algo))
     flops = n**3 / 3
     _emit({"metric": f"cholesky_xla_n{n}_dev", "value": round(t_xla, 5),
            "unit": "s", "tflops": round(flops / t_xla / 1e12, 1),
            "vs_baseline": None})
-    _emit({"metric": f"cholesky_blocked{base}_n{n}_dev",
+    _emit({"metric": f"cholesky_blocked{base}_{algo}_n{n}_dev",
            "value": round(t_blk, 5), "unit": "s",
            "tflops": round(flops / t_blk / 1e12, 1),
            "vs_baseline": round(t_xla / t_blk, 2)})
@@ -186,8 +205,10 @@ def bench_iterative():
     out = fit_j(x, y)
     jax.block_until_ready(out.alpha)
     assert bool(jnp.isfinite(out.log_marginal)), "non-finite lml estimate"
+    # unseeded scale: fresh input values per process (tunnel replay)
+    y2 = y * np.float32(1.0 + np.random.default_rng().random() * 1e-3)
     t0 = time.perf_counter()
-    out = fit_j(x, y * np.float32(1.0000001))
+    out = fit_j(x, y2)
     jax.block_until_ready(out.alpha)
     wall = time.perf_counter() - t0
     _emit({"metric": f"iterative_gp_fit_n{n}_{DTYPE}_wall",

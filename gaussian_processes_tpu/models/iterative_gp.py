@@ -287,25 +287,41 @@ def log_marginal_value_and_grad_iterative(
         )
     lml = -0.5 * jnp.dot(y, alpha) - 0.5 * logdet - 0.5 * n * _LOG_2PI
 
-    # strip accumulation of J_p-matvecs: J (P, n, b) per column block
-    b = min(block_size, n)
-    nb = -(-n // b)
-    n_pad = nb * b
-    x_pad = krylov._pad_to(x, n_pad).reshape(nb, b)
-    av_pad = krylov._pad_to(alpha[:, None], n_pad).reshape(nb, b, 1)
-    z_pad = krylov._pad_to(probes, n_pad).reshape(nb, b, num_probes)
+    from gaussian_processes_tpu.ops import pairwise
 
-    def step(acc, xv):
-        xj, aj, zj = xv
-        Jj = kernel.jacobian(x, xj)  # (P, n, b)
-        # (einsums below inherit the highest-precision context)
-        Ja = acc[0] + jnp.einsum("pnb,b->pn", Jj, aj[:, 0])
-        Jz = acc[1] + jnp.einsum("pnb,br->pnr", Jj, zj)
-        return (Ja, Jz), None
+    if (
+        jax.default_backend() == "tpu"
+        and pairwise.supports_fused_jacvec(kernel, x)
+    ):
+        # fused Pallas path: each J_p tile is built in VMEM and
+        # contracted with [alpha, probes] on the MXU — the (P, n, b)
+        # Jacobian strips below never reach HBM
+        U = jnp.concatenate([alpha[:, None], probes], axis=1)
+        JU = pairwise.kernel_jacvec_fused(kernel, x, U)  # (P, n, r+1)
+        J_alpha = JU[:, :, 0]
+        J_z = JU[:, :, 1:]
+    else:
+        # strip accumulation of J_p-matvecs: J (P, n, b) per column block
+        b = min(block_size, n)
+        nb = -(-n // b)
+        n_pad = nb * b
+        x_pad = krylov._pad_to(x, n_pad).reshape(nb, b)
+        av_pad = krylov._pad_to(alpha[:, None], n_pad).reshape(nb, b, 1)
+        z_pad = krylov._pad_to(probes, n_pad).reshape(nb, b, num_probes)
 
-    Ja0 = jnp.zeros((P, n), dtype)
-    Jz0 = jnp.zeros((P, n, num_probes), dtype)
-    (J_alpha, J_z), _ = jax.lax.scan(step, (Ja0, Jz0), (x_pad, av_pad, z_pad))
+        def step(acc, xv):
+            xj, aj, zj = xv
+            Jj = kernel.jacobian(x, xj)  # (P, n, b)
+            # (einsums below inherit the highest-precision context)
+            Ja = acc[0] + jnp.einsum("pnb,b->pn", Jj, aj[:, 0])
+            Jz = acc[1] + jnp.einsum("pnb,br->pnr", Jj, zj)
+            return (Ja, Jz), None
+
+        Ja0 = jnp.zeros((P, n), dtype)
+        Jz0 = jnp.zeros((P, n, num_probes), dtype)
+        (J_alpha, J_z), _ = jax.lax.scan(
+            step, (Ja0, Jz0), (x_pad, av_pad, z_pad)
+        )
 
     quad = jnp.einsum("n,pn->p", alpha, J_alpha)
     trace_est = jnp.mean(

@@ -254,11 +254,12 @@ def _chol_recursive(A: jax.Array, base: int, base_impl: str, prec=_HIGHEST,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("base", "base_impl", "precision", "assembly"),
+    static_argnames=("base", "base_impl", "precision", "assembly", "algo"),
 )
 def cholesky_blocked(
     A: jax.Array, *, base: int = 512, base_impl: str = "xla",
     precision: str = "high", assembly: str = "concat",
+    algo: str = "leftlook",
 ) -> jax.Array:
     """Lower Cholesky factor of SPD ``A``, MXU-oriented blocked algorithm.
 
@@ -270,6 +271,11 @@ def cholesky_blocked(
     Inputs of size not a multiple of ``base`` are padded with an identity
     corner — chol(diag(A, I)) = diag(chol(A), I) — and sliced back, so
     shapes stay MXU-aligned throughout.
+
+    ``algo`` selects the skeleton: ``"recursive"`` (divide-and-conquer,
+    per-level re-assembly controlled by ``assembly``) or ``"leftlook"``
+    (single-buffer left-looking panels, minimal copy traffic — see
+    ``_chol_leftlook``).
     """
     n = A.shape[0]
     n_pad = _round_up(max(n, base), base)
@@ -281,7 +287,12 @@ def cholesky_blocked(
                 [jnp.zeros((pad, n), A.dtype), jnp.eye(pad, dtype=A.dtype)],
             ]
         )
-    L = _chol_recursive(A, base, base_impl, _PRECISIONS[precision], assembly)
+    if algo == "leftlook":
+        L = _chol_leftlook(A, base, base_impl, _PRECISIONS[precision])
+    else:
+        L = _chol_recursive(
+            A, base, base_impl, _PRECISIONS[precision], assembly
+        )
     return L[:n, :n]
 
 
@@ -337,6 +348,51 @@ def cholesky_solve_blocked(
     """(L L^T)^-1 B via two blocked triangular solves."""
     Z = solve_triangular_blocked(L, B, trans=False, base=base)
     return solve_triangular_blocked(L, Z, trans=True, base=base)
+
+
+def _chol_leftlook(A: jax.Array, base: int, base_impl: str, prec) -> jax.Array:
+    """Left-looking blocked Cholesky with a single preallocated output.
+
+    The recursive skeleton above re-assembles its result at every
+    recursion level (concat or whole-matrix ``.at`` writes), costing
+    O(N^2 * levels) of HBM copy traffic on top of the matmuls — measured
+    at ~25 ms of the 63 ms total at N=16k (benchmarks/bench_parts.py).
+    This variant eliminates the re-assembly: the factor lives in ONE
+    buffer and each (N, base) column strip is written exactly once at its
+    final offset (an in-place dynamic-update-slice for XLA), so total
+    non-matmul write traffic is ~N^2 elements.
+
+    Per panel k (row offset r = k*base), the left-looking update folds
+    every prior panel's contribution into one large GEMM:
+
+        strip = A[r:, r:r+b] - L[r:, :r] @ L[r:r+b, :r]^T   (GEMM)
+        L_kk  = chol(strip[:b])                              (base panel)
+        L[r+b:, k-strip] = strip[b:] @ L_kk^-T               (trtri+GEMM)
+
+    All shapes are static (the loop unrolls at trace time: N/base
+    iterations).  FLOPs are identical to the recursive form (N^3/3, all
+    in GEMMs); what changes is the copy traffic and the absence of the
+    materialized trailing Schur complements.
+    """
+    n = A.shape[0]
+    nb = n // base
+    out = jnp.zeros_like(A)
+    for k in range(nb):
+        r = k * base
+        a_strip = A[r:, r : r + base]
+        if k > 0:
+            done = out[r:, :r]          # (n-r, r) factor columns so far
+            top = out[r : r + base, :r]  # (base, r)
+            a_strip = a_strip - jnp.matmul(done, top.T, precision=prec)
+        Lkk = _base_cholesky(a_strip[:base], base_impl)
+        if k + 1 < nb:
+            inv_Lkk = _base_inv_lower(Lkk)
+            rest = jnp.matmul(a_strip[base:], inv_Lkk.T, precision=prec)
+            strip = jnp.concatenate([Lkk, rest], axis=0)
+        else:
+            strip = Lkk
+        out = lax.dynamic_update_slice(out, strip, (r, r))
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -355,6 +355,286 @@ def pairwise_hessian(
     )
 
 
+# ---------------------------------------------------------------------------
+# Fused kernel-matvec: (K + diag I) @ v with K never leaving VMEM
+# ---------------------------------------------------------------------------
+
+
+def _matvec_tile_body(
+    k_fn, n_params, params_ref, x1_ref, x2_ref, v_ref, out_ref
+):
+    """One (bm, bn) tile of K, built and contracted in VMEM.
+
+    The strip-scan matvec (ops/krylov.py::kernel_matvec) writes each
+    (n, b) block of K to HBM and reads it back for the dot — 2 * 4 * n^2
+    bytes of HBM traffic per matvec, which dominates CG wall-clock at
+    large n (the dot itself is ~10x cheaper).  Here the tile goes
+    VPU -> MXU directly; HBM sees only x, v, and the (n, r) output, so
+    the op is compute-bound at the kernel-eval + matmul rate.
+
+    Grid is (rows, cols) with cols innermost: the output tile for row
+    block i stays resident in VMEM while j sweeps, accumulating one
+    (bm, bn) @ (bn, r) MXU contraction per step.
+    """
+    j = pl.program_id(1)
+    params = [params_ref[k] for k in range(n_params)]
+    d = x1_ref[:] - x2_ref[:]  # (bm, 1) - (1, bn) -> (bm, bn)
+    ktile = k_fn(d, *params)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] = out_ref[:] + jnp.dot(
+        ktile,
+        v_ref[:],
+        preferred_element_type=out_ref.dtype,
+        # CG stability: single-pass-bf16 f32 dots have a ~1e-2 noise
+        # floor that caps attainable residuals (round-1 lesson)
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _ard_matvec_tile_body(D, params_ref, x1_ref, x2_ref, v_ref, out_ref):
+    j = pl.program_id(1)
+    h = params_ref[0]
+    bm = x1_ref.shape[0]
+    bn = x2_ref.shape[0]
+    acc = jnp.zeros((bm, bn), out_ref.dtype)
+    for d in range(D):
+        w_d = params_ref[1 + d]
+        diff = x1_ref[:, d][:, None] - x2_ref[:, d][None, :]
+        acc = acc + jnp.square(diff / w_d)
+    ktile = jnp.square(h) * jnp.exp(-0.5 * acc)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] = out_ref[:] + jnp.dot(
+        ktile,
+        v_ref[:],
+        preferred_element_type=out_ref.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k_fn", "n_params", "D", "block", "interpret")
+)
+def _fused_matvec(
+    k_fn, n_params, D, params, x1c, x2c, v, *, block, interpret
+):
+    """Dispatch the padded, block-aligned fused matvec pallas_call.
+
+    ``D`` is None for 1-D inputs (x1c/x2c are (n, 1)/(1, n)); otherwise
+    inputs are (n, D) and the ARD body runs.  All shapes are exact
+    multiples of ``block`` — callers pad (edge-tile reads of v must be
+    zeros, not garbage, since they accumulate into real rows).
+    """
+    bm, bn = block
+    n = x1c.shape[0] if D is not None else x1c.shape[0]
+    m = v.shape[0]
+    r = v.shape[1]
+    grid = (n // bm, m // bn)
+    if D is None:
+        body = functools.partial(_matvec_tile_body, k_fn, n_params)
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, r), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ]
+    else:
+        body = functools.partial(_ard_matvec_tile_body, D)
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((bm, D), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, D), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, r), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ]
+    return pl.pallas_call(
+        body,
+        out_shape=jax.ShapeDtypeStruct((n, r), v.dtype),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (bm, r), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(params, x1c, x2c, v)
+
+
+def kernel_matvec_fused(
+    kernel: Kernel,
+    x,
+    v,
+    noise,
+    jitter: float = 0.0,
+    *,
+    block=(512, 512),
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """(K(x, x) + (noise^2 + jitter) I) @ v, K built and consumed in VMEM.
+
+    Fused twin of ``ops.krylov.kernel_matvec`` (same contract, same
+    padding semantics) for tile-capable kernels (leaves, Sum/Product
+    trees) and ``ARDGaussianKernel`` over (n, D) inputs.  Not
+    differentiable (no AD rule); the iterative path's gradients use
+    explicit Jacobian strips, never AD through the matvec.
+    """
+    x = jnp.asarray(x)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    squeeze = v.ndim == 1
+    v2 = v[:, None] if squeeze else v
+    n = x.shape[0]
+    bm, bn = block
+    n_pad = max(_ceil_mult(n, bm), _ceil_mult(n, bn))
+    xp = jnp.pad(x, [(0, n_pad - n)] + [(0, 0)] * (x.ndim - 1))
+    vp = jnp.pad(v2, [(0, n_pad - n), (0, 0)])
+
+    if x.ndim == 2:
+        from gaussian_processes_tpu.models.ard import ARDGaussianKernel
+
+        if not isinstance(kernel, ARDGaussianKernel):
+            raise TypeError(
+                "fused matvec over (n, D) inputs needs ARDGaussianKernel"
+            )
+        D = x.shape[1]
+        params = kernel.params.astype(x.dtype)
+        out = _fused_matvec(
+            None, 0, D, params, xp, xp, vp, block=block, interpret=interpret
+        )
+    else:
+        k_fn, params = tile_program(kernel)
+        params = params.astype(x.dtype)
+        out = _fused_matvec(
+            k_fn, params.shape[0], None, params,
+            xp[:, None], xp[None, :], vp, block=block, interpret=interpret,
+        )
+    out = out[:n]
+    diag = jnp.square(jnp.asarray(noise, out.dtype)) + jnp.asarray(
+        jitter, out.dtype
+    )
+    out = out + diag * v2
+    return out[:, 0] if squeeze else out
+
+
+def _ceil_mult(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _jacvec_tile_body(kernel_cls, params_ref, x1_ref, x2_ref, u_ref, out_ref):
+    """One (bm, bn) Jacobian tile per parameter, contracted in VMEM.
+
+    The matrix-free gradient path needs J_p @ U for every hyperparameter
+    p (U = [alpha, probes]); the strip scan in
+    models/iterative_gp.py materializes (P, n, b) Jacobian strips in HBM
+    first.  Here each parameter's tile comes out of ``jac_fn`` in VMEM
+    and feeds the MXU directly — same fusion argument as
+    ``_matvec_tile_body``, times P.
+    """
+    j = pl.program_id(1)
+    P = len(kernel_cls.param_names)
+    params = [params_ref[k] for k in range(P)]
+    d = x1_ref[:] - x2_ref[:]
+    jac = kernel_cls.jac_fn(d, *params)  # tuple of P (bm, bn) tiles
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    for p in range(P):  # P is tiny and static
+        out_ref[p] = out_ref[p] + jnp.dot(
+            jac[p],
+            u_ref[:],
+            preferred_element_type=out_ref.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kernel_cls", "block", "interpret")
+)
+def _fused_jacvec(kernel_cls, params, x1c, x2c, u, *, block, interpret):
+    bm, bn = block
+    n = x1c.shape[0]
+    m = u.shape[0]
+    r = u.shape[1]
+    P = len(kernel_cls.param_names)
+    grid = (n // bm, m // bn)
+    body = functools.partial(_jacvec_tile_body, kernel_cls)
+    return pl.pallas_call(
+        body,
+        out_shape=jax.ShapeDtypeStruct((P, n, r), u.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, r), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (P, bm, r), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(params, x1c, x2c, u)
+
+
+def kernel_jacvec_fused(
+    kernel: Kernel,
+    x,
+    u,
+    *,
+    block=(256, 512),
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """(P, n, r) = stack_p(dK/dtheta_p @ u) without materializing dK/dtheta.
+
+    Leaf tile-capable kernels only (the closed-form ``jac_fn`` runs per
+    tile); callers fall back to the strip scan otherwise.
+    """
+    x = jnp.asarray(x)
+    u = jnp.asarray(u)
+    if x.ndim != 1:
+        raise TypeError("fused jacvec is 1-D-input only")
+    cls = type(kernel)
+    if not getattr(cls, "supports_tiled", False):
+        raise TypeError(f"{cls.__name__} has no tiled jac_fn form")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = x.shape[0]
+    bm, bn = block
+    n_pad = max(_ceil_mult(n, bm), _ceil_mult(n, bn))
+    xp = jnp.pad(x, (0, n_pad - n))
+    up = jnp.pad(u, [(0, n_pad - n), (0, 0)])
+    out = _fused_jacvec(
+        cls, kernel.params.astype(x.dtype), xp[:, None], xp[None, :], up,
+        block=block, interpret=interpret,
+    )
+    return out[:, :n, :]
+
+
+def supports_fused_jacvec(kernel: Kernel, x) -> bool:
+    x = jnp.asarray(x)
+    return x.ndim == 1 and getattr(type(kernel), "supports_tiled", False)
+
+
+def supports_fused_matvec(kernel: Kernel, x) -> bool:
+    """True when ``kernel_matvec_fused`` can run for this (kernel, x)."""
+    from gaussian_processes_tpu.models.ard import ARDGaussianKernel
+
+    x = jnp.asarray(x)
+    if x.ndim == 2:
+        return isinstance(kernel, ARDGaussianKernel)
+    try:
+        _tile_structure(kernel)
+        return True
+    except TypeError:
+        return False
+
+
 def pairwise_matrix_reference(kernel: Kernel, x1, x2, *, noise=None, jitter=0.0):
     """Pure-jnp twin of ``pairwise_matrix`` (the test oracle)."""
     K = kernel(jnp.asarray(x1), jnp.asarray(x2))

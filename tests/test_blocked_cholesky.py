@@ -44,6 +44,20 @@ def test_matches_xla_cholesky_f64(n, kind):
     assert float(jnp.abs(jnp.triu(L, 1)).max()) == 0.0
 
 
+@pytest.mark.parametrize("n", [256, 700, 1024, 1500])
+@pytest.mark.parametrize("kind", ["kernel", "random"])
+def test_leftlook_matches_xla_cholesky_f64(n, kind):
+    # single-buffer left-looking skeleton: same 1e-8 f64 gate as the
+    # recursive form, plus exact-zero strict upper triangle
+    rng = np.random.default_rng(n + 1)
+    A = jnp.asarray(_spd(n, rng, kind))
+    L_ref = jnp.linalg.cholesky(A)
+    L = cholesky_blocked(A, base=256, algo="leftlook")
+    rel = jnp.linalg.norm(L - L_ref) / jnp.linalg.norm(L_ref)
+    assert float(rel) < 1e-8
+    assert float(jnp.abs(jnp.triu(L, 1)).max()) == 0.0
+
+
 @pytest.mark.parametrize("base", [128, 256, 512])
 def test_base_size_invariance(base):
     rng = np.random.default_rng(7)

@@ -47,6 +47,69 @@ def test_kernel_matvec_matches_dense():
     np.testing.assert_allclose(np.asarray(got1), np.asarray(K @ v[:, 0]), rtol=1e-10, atol=1e-12)
 
 
+def test_kernel_matvec_fused_matches_dense():
+    # interpret-mode Pallas twin of the strip matvec: leaf, composite,
+    # and ARD kernels; (n,) and (n, r) right-hand sides; n not a
+    # multiple of the tile (zero-padded edge tiles must not leak)
+    from gaussian_processes_tpu import build_kxx
+    from gaussian_processes_tpu.models.ard import ARDGaussianKernel
+    from gaussian_processes_tpu.models.composite import ProductKernel
+    from gaussian_processes_tpu.models.periodic import PeriodicKernel
+    from gaussian_processes_tpu.ops.pairwise import (
+        kernel_matvec_fused,
+        supports_fused_matvec,
+    )
+
+    kernel, x, y, s = _problem(n=300)
+    rng = np.random.default_rng(2)
+    v = jnp.asarray(rng.standard_normal((300, 3)))
+    for k in [
+        kernel,
+        ProductKernel(kernel, PeriodicKernel(h=1.0, w=1.3, p=2.0)),
+    ]:
+        assert supports_fused_matvec(k, x)
+        K = build_kxx(k, x, s, jitter=1e-8)
+        got = kernel_matvec_fused(k, x, v, s, 1e-8, block=(128, 128))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(K @ v), rtol=1e-9, atol=1e-11
+        )
+        got1 = kernel_matvec_fused(k, x, v[:, 0], s, 1e-8, block=(128, 128))
+        np.testing.assert_allclose(
+            np.asarray(got1), np.asarray(K @ v[:, 0]), rtol=1e-9, atol=1e-11
+        )
+
+    xd = jnp.asarray(rng.standard_normal((300, 2)))
+    ard = ARDGaussianKernel(h=jnp.float64(1.1), w=jnp.asarray([0.8, 1.7]))
+    assert supports_fused_matvec(ard, xd)
+    K = ard(xd, xd) + (s**2 + 1e-8) * jnp.eye(300)
+    got = kernel_matvec_fused(ard, xd, v, s, 1e-8, block=(128, 128))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(K @ v), rtol=1e-9, atol=1e-11
+    )
+
+
+def test_kernel_jacvec_fused_matches_strips():
+    # interpret-mode Pallas twin of the Jacobian strip contraction used
+    # by the matrix-free gradient: J_p @ U for each hyperparameter
+    from gaussian_processes_tpu.models.periodic import PeriodicKernel
+    from gaussian_processes_tpu.ops.pairwise import (
+        kernel_jacvec_fused,
+        supports_fused_jacvec,
+    )
+
+    kernel, x, y, s = _problem(n=300)
+    rng = np.random.default_rng(3)
+    U = jnp.asarray(rng.standard_normal((300, 4)))
+    for k in [kernel, PeriodicKernel(h=1.1, w=0.9, p=2.3)]:
+        assert supports_fused_jacvec(k, x)
+        J = k.jacobian(x, x)  # (P, n, n)
+        want = jnp.einsum("pnm,mr->pnr", J, U)
+        got = kernel_jacvec_fused(k, x, U, block=(128, 128))
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-9, atol=1e-11
+        )
+
+
 def test_mbcg_solves_match_direct():
     kernel, x, y, s = _problem()
     from gaussian_processes_tpu import build_kxx
