@@ -72,12 +72,12 @@ def kernel_matvec(
 
     x = jnp.asarray(x)
     if impl == "auto":
-        impl = (
-            "fused"
-            if jax.default_backend() == "tpu"
-            and pairwise.supports_fused_matvec(kernel, x)
-            else "strip"
-        )
+        # measured (benchmarks/probe_matvec2.py, n=65536, r=9): strip
+        # ~23 ms vs fused ~40 ms device across all tile shapes — the
+        # fused kernel's skinny-RHS MXU dot (r padded to 128 lanes)
+        # costs more than the strip traffic it saves, so strip is the
+        # default; "fused" stays selectable for wide-RHS callers
+        impl = "strip"
     if impl == "fused":
         return pairwise.kernel_matvec_fused(kernel, x, v, noise, jitter)
     squeeze = v.ndim == 1
@@ -185,6 +185,12 @@ def pivoted_cholesky(
 
     d0 = kernel.kdiag(x).astype(dtype)  # (n,)
     L0 = jnp.zeros((n, rank), dtype)
+    # over-rank guard: once the residual diagonal falls below f32
+    # round-off of the leading diagonal, further "columns" are noise
+    # divided by a clamped pivot — they pollute the Woodbury apply
+    # instead of helping.  Freeze to zero columns past that point (the
+    # shape stays static; the factor just stops growing).
+    floor = jnp.max(d0) * jnp.asarray(10 * jnp.finfo(dtype).eps, dtype)
 
     def body(j, carry):
         L, d = carry
@@ -195,6 +201,7 @@ def pivoted_cholesky(
         l = (c - jnp.dot(L, lp, precision=lax.Precision.HIGHEST)) / jnp.sqrt(
             jnp.maximum(d[piv], jitter)
         )
+        l = jnp.where(d[piv] > floor, l, jnp.zeros_like(l))
         L = L.at[:, j].set(l)
         d = jnp.maximum(d - l * l, 0.0)
         return (L, d)

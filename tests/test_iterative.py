@@ -204,6 +204,33 @@ def test_fit_mle_iterative_improves_lml():
     assert np.isfinite(lml_last)
 
 
+def test_pivoted_cholesky_overrank_stays_sane():
+    # f32, rank far beyond the kernel's effective rank: once the
+    # residual diagonal hits f32 round-off, further pivots must freeze
+    # to zero columns, not emit noise/clamped-pivot junk that poisons
+    # the Woodbury preconditioner (observed on-chip: a rank-2048 factor
+    # of an effective-rank-~70 kernel broke CG convergence)
+    kernel, x, y, s = _problem(n=200)
+    wide = kernel.with_params(jnp.asarray([1.3, 2.5], jnp.float32))
+    x32 = x.astype(jnp.float32)
+    L = krylov.pivoted_cholesky(wide, x32, rank=150)
+    assert L.dtype == jnp.float32
+    K = wide(x32, x32)
+    rel = float(jnp.linalg.norm(K - L @ L.T) / jnp.linalg.norm(K))
+    assert rel < 1e-5
+    # the tail columns must be exactly zero (frozen), and the Woodbury
+    # apply built from L must still be a sane preconditioner
+    tail_norm = float(jnp.abs(L[:, -20:]).max())
+    assert tail_norm == 0.0
+    pre = krylov.woodbury_inverse_apply(L, jnp.float32(s) ** 2)
+    v = jnp.asarray(
+        np.random.default_rng(5).standard_normal(200).astype(np.float32)
+    )
+    Kn = K + (jnp.float32(s) ** 2) * jnp.eye(200, dtype=jnp.float32)
+    rel2 = float(jnp.linalg.norm(Kn @ pre(v) - v) / jnp.linalg.norm(v))
+    assert rel2 < 1e-2
+
+
 def test_pivoted_cholesky_approximates_kernel():
     kernel, x, y, s = _problem(n=120)
     L = krylov.pivoted_cholesky(kernel, x, rank=40)
