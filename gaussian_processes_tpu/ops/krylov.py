@@ -54,6 +54,7 @@ def kernel_matvec(
     jitter: float = 0.0,
     block_size: int = 1024,
     impl: str = "auto",
+    x_rows: jax.Array | None = None,
 ) -> jax.Array:
     """(K_f(x, x) + (noise^2 + jitter) I) @ v without materializing K.
 
@@ -67,10 +68,18 @@ def kernel_matvec(
       of strip traffic per matvec that dominates CG at large n.
 
     ``"auto"`` picks fused on TPU when the kernel supports tiling.
+
+    ``x_rows`` selects a *rectangular* strip product K_f(x_rows, x) @ v —
+    the row-sharded building block of the distributed matvec
+    (parallel/iterative_sharded.py), where each device owns a row block
+    and ``v`` is the all-gathered global vector.  In that mode the
+    noise/jitter diagonal is NOT added (rows and columns are misaligned
+    on a shard); the caller adds ``(noise^2 + jitter) * v_local`` itself.
     """
     from gaussian_processes_tpu.ops import pairwise
 
     x = jnp.asarray(x)
+    rect = x_rows is not None
     if impl == "auto":
         # measured (benchmarks/probe_matvec2.py, n=65536, r=9): strip
         # ~23 ms vs fused ~40 ms device across all tile shapes — the
@@ -79,7 +88,10 @@ def kernel_matvec(
         # default; "fused" stays selectable for wide-RHS callers
         impl = "strip"
     if impl == "fused":
+        if rect:
+            raise ValueError("impl='fused' does not support x_rows")
         return pairwise.kernel_matvec_fused(kernel, x, v, noise, jitter)
+    rows = x if not rect else jnp.asarray(x_rows)
     squeeze = v.ndim == 1
     v2 = v[:, None] if squeeze else v
     n = x.shape[0]
@@ -95,15 +107,16 @@ def kernel_matvec(
 
     def step(acc, xv):
         xj, vj = xv
-        Kj = kernel(x, xj)  # (n, b) strip, built from registers
+        Kj = kernel(rows, xj)  # (n_rows, b) strip, built from registers
         # HIGHEST: TPU f32 matmuls otherwise run bf16 multiplies, whose
         # ~1e-2 noise floor caps CG convergence regardless of iterations
         return acc + jnp.dot(Kj, vj, precision=lax.Precision.HIGHEST), None
 
-    acc0 = jnp.zeros((n, v2.shape[1]), v2.dtype)
+    acc0 = jnp.zeros((rows.shape[0], v2.shape[1]), v2.dtype)
     out, _ = lax.scan(step, acc0, (xb, vb))
-    diag = (jnp.square(jnp.asarray(noise, out.dtype)) + jitter)
-    out = out + diag * v2
+    if not rect:
+        diag = (jnp.square(jnp.asarray(noise, out.dtype)) + jitter)
+        out = out + diag * v2
     return out[:, 0] if squeeze else out
 
 
@@ -114,24 +127,41 @@ class MBCGResult(NamedTuple):
     residual_norm: jax.Array  # (r,) final relative residuals
 
 
-def mbcg(matvec, rhs: jax.Array, num_iters: int, tol: float = 1e-10) -> MBCGResult:
+def mbcg(
+    matvec,
+    rhs: jax.Array,
+    num_iters: int,
+    tol: float = 1e-10,
+    allreduce=None,
+) -> MBCGResult:
     """Batched CG on (n, r) right-hand sides, fixed ``num_iters``.
 
     Converged columns freeze (masked updates) so their Lanczos
     coefficients stop changing; alphas/betas feed ``slq_logdet``.
+
+    ``allreduce`` (default identity) wraps every column-sum over the n
+    axis — pass ``lambda a: lax.psum(a, axis)`` to run the identical
+    recurrence on row-sharded operands inside ``shard_map``
+    (parallel/iterative_sharded.py); every scalar the iteration branches
+    on is then replicated across devices by construction.
     """
+    red = allreduce if allreduce is not None else (lambda a: a)
+
+    def colsum(a):
+        return red(jnp.sum(a, axis=0))
+
     n, r = rhs.shape
     dtype = rhs.dtype
     x0 = jnp.zeros_like(rhs)
     r0 = rhs
     p0 = rhs
-    rs0 = jnp.sum(r0 * r0, axis=0)  # (r,)
-    b_norm = jnp.sqrt(jnp.maximum(jnp.sum(rhs * rhs, axis=0), 1e-30))
+    rs0 = colsum(r0 * r0)  # (r,)
+    b_norm = jnp.sqrt(jnp.maximum(colsum(rhs * rhs), 1e-30))
 
     def body(carry, _):
         x, res, p, rs, x_best, rs_best = carry
         Ap = matvec(p)
-        pAp = jnp.sum(p * Ap, axis=0)
+        pAp = colsum(p * Ap)
         # freeze converged columns AND numerical breakdowns: pAp <= 0 from
         # f32 rounding near the conditioning limit, or a residual that has
         # blown far past its best (low-precision CG can diverge after
@@ -146,7 +176,7 @@ def mbcg(matvec, rhs: jax.Array, num_iters: int, tol: float = 1e-10) -> MBCGResu
         alpha = jnp.where(active, rs / jnp.where(active, pAp, 1.0), 0.0)
         x = x + alpha[None, :] * p
         res = res - alpha[None, :] * Ap
-        rs_new = jnp.sum(res * res, axis=0)
+        rs_new = colsum(res * res)
         rs_new = jnp.where(active, rs_new, rs)
         beta = jnp.where(active, rs_new / jnp.maximum(rs, 1e-30), 0.0)
         p = jnp.where(active[None, :], res + beta[None, :] * p, p)
@@ -210,22 +240,29 @@ def pivoted_cholesky(
     return L
 
 
-def woodbury_inverse_apply(L: jax.Array, sigma2) -> "callable":
+def woodbury_inverse_apply(L: jax.Array, sigma2, allreduce=None) -> "callable":
     """Return v -> (L L^T + sigma2 I)^-1 v via the Woodbury identity.
 
     Precomputes the (k, k) capacitance Cholesky once; each apply is
     2 n k flops — cheap relative to a kernel matvec.
+
+    With ``allreduce`` (psum over the shard axis), ``L`` and ``v`` may be
+    row shards of the global operands: the two L^T-contractions are the
+    only cross-row reductions, so the sharded apply is exact.
     """
     from jax.scipy.linalg import cho_factor, cho_solve
 
+    red = allreduce if allreduce is not None else (lambda a: a)
     k = L.shape[1]
     sigma2 = jnp.asarray(sigma2, L.dtype)
     hi = lax.Precision.HIGHEST
-    M = sigma2 * jnp.eye(k, dtype=L.dtype) + jnp.dot(L.T, L, precision=hi)
+    M = sigma2 * jnp.eye(k, dtype=L.dtype) + red(
+        jnp.dot(L.T, L, precision=hi)
+    )
     cf = cho_factor(M)
 
     def apply(v):
-        Ltv = jnp.dot(L.T, v, precision=hi)
+        Ltv = red(jnp.dot(L.T, v, precision=hi))
         return (v - jnp.dot(L, cho_solve(cf, Ltv), precision=hi)) / sigma2
 
     return apply
@@ -239,6 +276,7 @@ def pcg(
     tol: float = 1e-10,
     return_tridiag: bool = False,
     early_exit: bool = False,
+    allreduce=None,
 ):
     """Preconditioned CG on (n, r) right-hand sides, fixed iterations.
 
@@ -258,18 +296,23 @@ def pcg(
     """
     if early_exit and return_tridiag:
         raise ValueError("early_exit does not collect tridiagonals")
+    red = allreduce if allreduce is not None else (lambda a: a)
+
+    def colsum(a):
+        return red(jnp.sum(a, axis=0))
+
     x0 = jnp.zeros_like(rhs)
     r0 = rhs
     z0 = precond(r0)
     p0 = z0
-    rz0 = jnp.sum(r0 * z0, axis=0)
-    b_norm = jnp.sqrt(jnp.maximum(jnp.sum(rhs * rhs, axis=0), 1e-30))
+    rz0 = colsum(r0 * z0)
+    b_norm = jnp.sqrt(jnp.maximum(colsum(rhs * rhs), 1e-30))
 
     def body(carry, _):
         x, res, p, rz, x_best, rn_best = carry
         Ap = matvec(p)
-        pAp = jnp.sum(p * Ap, axis=0)
-        rn = jnp.sqrt(jnp.sum(res * res, axis=0))
+        pAp = colsum(p * Ap)
+        rn = jnp.sqrt(colsum(res * res))
         active = (
             (rn / b_norm > tol)
             & (pAp > 0)
@@ -281,21 +324,21 @@ def pcg(
         x = x + alpha[None, :] * p
         res = res - alpha[None, :] * Ap
         z = precond(res)
-        rz_new = jnp.sum(res * z, axis=0)
+        rz_new = colsum(res * z)
         rz_new = jnp.where(active, rz_new, rz)
         beta = jnp.where(active, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
         p = jnp.where(active[None, :], z + beta[None, :] * p, p)
-        rn_new = jnp.sqrt(jnp.sum(res * res, axis=0))
+        rn_new = jnp.sqrt(colsum(res * res))
         better = rn_new < rn_best
         x_best = jnp.where(better[None, :], x, x_best)
         rn_best = jnp.where(better, rn_new, rn_best)
         return (x, res, p, rz_new, x_best, rn_best), (alpha, beta)
 
-    init = (x0, r0, p0, rz0, x0, jnp.sqrt(jnp.sum(r0 * r0, axis=0)))
+    init = (x0, r0, p0, rz0, x0, jnp.sqrt(colsum(r0 * r0)))
     if early_exit:
         def cond(state):
             i, (x, res, p, rz, x_best, rn_best) = state
-            rn = jnp.sqrt(jnp.sum(res * res, axis=0))
+            rn = jnp.sqrt(colsum(res * res))
             any_active = jnp.any(
                 (rn / b_norm > tol) & (rn < 1e2 * rn_best + 1e-30)
             )
@@ -318,13 +361,19 @@ def pcg(
     return x_best, rn_best / b_norm
 
 
-def precond_logdet(L: jax.Array, sigma2, n: int) -> jax.Array:
+def precond_logdet(L: jax.Array, sigma2, n: int, allreduce=None) -> jax.Array:
     """Exact logdet(L L^T + sigma2 I) via the matrix determinant lemma:
-    logdet = logdet(sigma2 I_k + L^T L) + (n - k) log(sigma2)."""
+    logdet = logdet(sigma2 I_k + L^T L) + (n - k) log(sigma2).
+
+    ``n`` is always the GLOBAL row count; with ``allreduce``, ``L`` may be
+    a row shard (L^T L is psum-reduced)."""
+    red = allreduce if allreduce is not None else (lambda a: a)
     k = L.shape[1]
     sigma2 = jnp.asarray(sigma2, L.dtype)
     hi = lax.Precision.HIGHEST
-    M = sigma2 * jnp.eye(k, dtype=L.dtype) + jnp.dot(L.T, L, precision=hi)
+    M = sigma2 * jnp.eye(k, dtype=L.dtype) + red(
+        jnp.dot(L.T, L, precision=hi)
+    )
     Lm = jnp.linalg.cholesky(M)
     return 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lm))) + (n - k) * jnp.log(sigma2)
 
@@ -340,28 +389,34 @@ def sample_precond_probes(key, L: jax.Array, sigma2, num_probes: int):
 
 
 def slq_logdet_preconditioned(
-    matvec, L: jax.Array, sigma2, key, num_probes: int, num_iters: int, n: int
+    matvec, L: jax.Array, sigma2, key, num_probes: int, num_iters: int, n: int,
+    probes: jax.Array | None = None, allreduce=None,
 ):
     """SLQ estimate of logdet(A) with pivoted-Cholesky preconditioning.
 
     logdet(A) = logdet(P) + E_{z ~ N(0, P)}[ (z^T P^-1 z) e1^T log(T) e1 ]
     with T the PCG Lanczos tridiagonal of P^-1 A for start vector z
     (the GPyTorch preconditioned-SLQ identity).  logdet(P) is exact.
+
+    Pass ``probes`` (n_local, r) explicitly in sharded contexts (``key``
+    is then unused); ``n`` is always global.
     """
-    pre = woodbury_inverse_apply(L, sigma2)
-    probes = sample_precond_probes(key, L, sigma2, num_probes)
+    red = allreduce if allreduce is not None else (lambda a: a)
+    pre = woodbury_inverse_apply(L, sigma2, allreduce=allreduce)
+    if probes is None:
+        probes = sample_precond_probes(key, L, sigma2, num_probes)
     _, _, alphas, betas = pcg(
         matvec, pre, probes, num_iters=num_iters, tol=1e-12,
-        return_tridiag=True,
+        return_tridiag=True, allreduce=allreduce,
     )
     pz = pre(probes)
-    probe_norms = jnp.sum(probes * pz, axis=0)  # z^T P^-1 z, (r,)
+    probe_norms = red(jnp.sum(probes * pz, axis=0))  # z^T P^-1 z, (r,)
     T = lanczos_tridiag_from_cg(alphas, betas)
     evals, evecs = jnp.linalg.eigh(T)
     w = jnp.square(evecs[:, 0, :])
     quad = jnp.sum(w * jnp.log(jnp.maximum(evals, 1e-30)), axis=-1)
     est = jnp.mean(probe_norms * quad)
-    return precond_logdet(L, sigma2, n) + est
+    return precond_logdet(L, sigma2, n, allreduce=allreduce) + est
 
 
 def lanczos_tridiag_from_cg(alphas: jax.Array, betas: jax.Array):

@@ -36,6 +36,11 @@ from gaussian_processes_tpu.parallel.multihost import (
     initialize_cluster,
     is_primary,
 )
+from gaussian_processes_tpu.parallel.iterative_sharded import (
+    fit_iterative_sharded,
+    make_row_mesh,
+    predict_mean_iterative_sharded,
+)
 
 __all__ = [
     "BlockCyclicPosterior",
@@ -58,6 +63,9 @@ __all__ = [
     "shard_put_nuts",
     "warmup_chees_sharded",
     "warmup_nuts_sharded",
+    "fit_iterative_sharded",
+    "make_row_mesh",
+    "predict_mean_iterative_sharded",
     "fit_sharded",
     "make_grid_mesh",
     "predict_diag_sharded",
