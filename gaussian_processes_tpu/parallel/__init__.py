@@ -38,6 +38,8 @@ from gaussian_processes_tpu.parallel.multihost import (
 )
 from gaussian_processes_tpu.parallel.iterative_sharded import (
     fit_iterative_sharded,
+    fit_mle_iterative_sharded,
+    log_marginal_value_and_grad_iterative_sharded,
     make_row_mesh,
     predict_mean_iterative_sharded,
 )
@@ -64,6 +66,8 @@ __all__ = [
     "warmup_chees_sharded",
     "warmup_nuts_sharded",
     "fit_iterative_sharded",
+    "fit_mle_iterative_sharded",
+    "log_marginal_value_and_grad_iterative_sharded",
     "make_row_mesh",
     "predict_mean_iterative_sharded",
     "fit_sharded",

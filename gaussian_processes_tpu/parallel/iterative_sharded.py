@@ -241,6 +241,222 @@ def fit_iterative_sharded(
     )
 
 
+def log_marginal_value_and_grad_iterative_sharded(
+    kernel: Kernel,
+    x,
+    y,
+    noise,
+    key: jax.Array | None = None,
+    *,
+    mesh: Mesh | None = None,
+    axis: str = "i",
+    num_probes: int = 16,
+    num_iters: int = 100,
+    tol: float = 1e-8,
+    jitter: float = 0.0,
+    block_size: int = 1024,
+    precond_rank: int = 0,
+):
+    """Row-sharded (lml, d lml/d theta), theta = (kernel params..., s).
+
+    Same stochastic estimator as
+    ``models.iterative_gp.log_marginal_value_and_grad_iterative`` with
+    identical probes for a given key; the Hutchinson trace contraction
+    runs on each device's (P, n/D, block) Jacobian strips and is psum'd.
+    Outputs are replicated scalars/(P+1,) — ready for a host optimizer.
+    """
+    if mesh is None:
+        mesh = make_row_mesh(axis=axis)
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    noise = jnp.asarray(noise)
+    if key is None:
+        key = jax.random.key(0)
+    n = x.shape[0]
+    dtype = y.dtype
+    fn = _build_vg_sharded(
+        kernel, mesh, axis,
+        num_probes=num_probes, num_iters=num_iters, tol=tol, jitter=jitter,
+        block_size=block_size, precond_rank=precond_rank, n=n, dtype=dtype,
+    )
+    probes, xi1, xi2 = _draw_vg_probes(key, n, num_probes, precond_rank, dtype)
+    return fn(x, x, y, probes, xi1, xi2, kernel.params, noise)
+
+
+def _draw_vg_probes(key, n, num_probes, precond_rank, dtype):
+    """Host-side probe draws, bit-matching the unsharded key plumbing."""
+    probes = jax.random.rademacher(key, (n, num_probes), dtype=dtype)
+    if precond_rank > 0:
+        # mirror the unsharded path: probe_key -> sample_precond_probes
+        probe_key, _ = jax.random.split(key)
+        k1, k2 = jax.random.split(probe_key)
+        xi1 = jax.random.normal(k1, (precond_rank, num_probes), dtype)
+        xi2 = jax.random.normal(k2, (n, num_probes), dtype)
+    else:
+        xi1 = jnp.zeros((0, num_probes), dtype)
+        xi2 = jnp.zeros((n, num_probes), dtype)
+    return probes, xi1, xi2
+
+
+def _build_vg_sharded(
+    kernel_template, mesh, axis, *,
+    num_probes, num_iters, tol, jitter, block_size, precond_rank, n, dtype,
+):
+    """Jit-once builder for the sharded (value, grad): kernel params and
+    noise are traced ARGUMENTS (not closure constants), so an optimizer
+    loop reuses one executable across steps."""
+    n_dev = mesh.shape[axis]
+    if n % n_dev != 0:
+        raise ValueError(f"mesh size ({n_dev}) must evenly divide n ({n})")
+    P_k = kernel_template.n_params
+    red = lambda a: lax.psum(a, axis)  # noqa: E731
+
+    def local(x_full, x_loc, y_loc, probes_loc, xi1, xi2_loc, theta, noise):
+        kernel = kernel_template.with_params(theta)
+        mv = _sharded_matvec(
+            kernel, x_full, x_loc, noise, jitter, block_size, axis
+        )
+        rhs = jnp.concatenate([y_loc[:, None], probes_loc], axis=1)
+        if precond_rank > 0:
+            sigma2 = jnp.square(noise) + jitter
+            L = _pivoted_cholesky_sharded(kernel, x_loc, precond_rank, axis)
+            pre = krylov.woodbury_inverse_apply(L, sigma2, allreduce=red)
+            sol, _ = krylov.pcg(
+                mv, pre, rhs, num_iters=num_iters, tol=tol, allreduce=red
+            )
+            alpha_loc = sol[:, 0]
+            Kinv_z_loc = sol[:, 1:]
+            slq_probes = (
+                jnp.dot(L, xi1, precision=lax.Precision.HIGHEST)
+                + jnp.sqrt(sigma2) * xi2_loc
+            )
+            logdet = krylov.slq_logdet_preconditioned(
+                mv, L, sigma2, None, num_probes, num_iters, n,
+                probes=slq_probes, allreduce=red,
+            )
+        else:
+            res = krylov.mbcg(mv, rhs, num_iters=num_iters, tol=tol,
+                              allreduce=red)
+            alpha_loc = res.solution[:, 0]
+            Kinv_z_loc = res.solution[:, 1:]
+            probe_norms = jnp.full((num_probes,), float(n), dtype)
+            logdet = krylov.slq_logdet_from_cg(
+                res.alphas[:, 1:], res.betas[:, 1:], probe_norms, n
+            )
+        lml = (
+            -0.5 * red(jnp.dot(y_loc, alpha_loc))
+            - 0.5 * logdet
+            - 0.5 * n * _LOG_2PI
+        )
+
+        # Hutchinson gradient: scan column blocks of the FULL x against
+        # this device's Jacobian row strips J_p(x_loc, block)
+        alpha_full = lax.all_gather(alpha_loc, axis, tiled=True)
+        probes_full = lax.all_gather(probes_loc, axis, tiled=True)
+        b = min(block_size, n)
+        nb = -(-n // b)
+        n_pad = nb * b
+        x_pad = krylov._pad_to(x_full, n_pad).reshape(nb, b, *x_full.shape[1:])
+        a_pad = krylov._pad_to(alpha_full[:, None], n_pad).reshape(nb, b, 1)
+        z_pad = krylov._pad_to(probes_full, n_pad).reshape(nb, b, num_probes)
+
+        def step(acc, xv):
+            xj, aj, zj = xv
+            Jj = kernel.jacobian(x_loc, xj)  # (P, n/D, b)
+            with jax.default_matmul_precision("highest"):
+                Ja = acc[0] + jnp.einsum("pnb,b->pn", Jj, aj[:, 0])
+                Jz = acc[1] + jnp.einsum("pnb,br->pnr", Jj, zj)
+            return (Ja, Jz), None
+
+        n_loc = x_loc.shape[0]
+        Ja0 = jnp.zeros((P_k, n_loc), dtype)
+        Jz0 = jnp.zeros((P_k, n_loc, num_probes), dtype)
+        (J_alpha, J_z), _ = lax.scan(step, (Ja0, Jz0), (x_pad, a_pad, z_pad))
+
+        quad = red(jnp.einsum("n,pn->p", alpha_loc, J_alpha))
+        trace_est = jnp.mean(
+            red(jnp.einsum("nr,pnr->pr", Kinv_z_loc, J_z)), axis=-1
+        )
+        grad_kernel = 0.5 * (quad - trace_est)
+        two_s = 2.0 * noise
+        quad_s = two_s * red(jnp.dot(alpha_loc, alpha_loc))
+        trace_s = two_s * jnp.mean(red(jnp.sum(Kinv_z_loc * probes_loc, axis=0)))
+        grad_s = 0.5 * (quad_s - trace_s)
+        return lml, jnp.concatenate([grad_kernel, grad_s[None]])
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis), P(axis), P(), P(axis), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+
+
+def fit_mle_iterative_sharded(
+    kernel: Kernel,
+    x,
+    y,
+    noise_init,
+    key: jax.Array | None = None,
+    *,
+    mesh: Mesh | None = None,
+    axis: str = "i",
+    num_steps: int = 50,
+    learning_rate: float = 0.05,
+    num_probes: int = 16,
+    num_iters: int = 100,
+    tol: float = 1e-6,
+    jitter: float = 0.0,
+    block_size: int = 1024,
+    precond_rank: int = 0,
+):
+    """Matrix-free type-II MLE with every (value, grad) evaluation
+    row-sharded over the mesh — Adam in log-space on the host, exactly
+    like ``models.iterative_gp.fit_mle_iterative``.
+
+    Returns (kernel, noise, last_lml_estimate, lml_trace).
+    """
+    import optax
+
+    if mesh is None:
+        mesh = make_row_mesh(axis=axis)
+    if key is None:
+        key = jax.random.key(0)
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    u = jnp.log(
+        jnp.concatenate([kernel.params, jnp.asarray(noise_init)[None]])
+    )
+    n = x.shape[0]
+    dtype = y.dtype
+    P_k = kernel.n_params
+    vg = _build_vg_sharded(  # one executable for all steps
+        kernel, mesh, axis,
+        num_probes=num_probes, num_iters=num_iters, tol=tol, jitter=jitter,
+        block_size=block_size, precond_rank=precond_rank, n=n, dtype=dtype,
+    )
+    opt = optax.adam(learning_rate)
+    opt_state = opt.init(u)
+
+    lmls = []
+    for _ in range(num_steps):
+        key, sub = jax.random.split(key)
+        theta = jnp.exp(u)
+        probes, xi1, xi2 = _draw_vg_probes(
+            sub, n, num_probes, precond_rank, dtype
+        )
+        lml, g_theta = vg(x, x, y, probes, xi1, xi2, theta[:P_k], theta[P_k])
+        g_u = -g_theta * theta
+        updates, opt_state = opt.update(g_u, opt_state, u)
+        u = optax.apply_updates(u, updates)
+        lmls.append(float(lml))
+    theta = jnp.exp(u)
+    return kernel.with_params(theta[:P_k]), theta[P_k], lmls[-1], lmls
+
+
 def predict_mean_iterative_sharded(
     post: IterativePosterior,
     xo,

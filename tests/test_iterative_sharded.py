@@ -17,12 +17,16 @@ from jax.sharding import PartitionSpec as P
 from gaussian_processes_tpu import GaussianKernel, build_kxx
 from gaussian_processes_tpu.models.iterative_gp import (
     fit_iterative,
+    fit_mle_iterative,
+    log_marginal_value_and_grad_iterative,
     predict_mean_iterative,
 )
 from gaussian_processes_tpu.ops import krylov
 from gaussian_processes_tpu.parallel.iterative_sharded import (
     _pivoted_cholesky_sharded,
     fit_iterative_sharded,
+    fit_mle_iterative_sharded,
+    log_marginal_value_and_grad_iterative_sharded,
     make_row_mesh,
     predict_mean_iterative_sharded,
 )
@@ -112,6 +116,64 @@ def test_predict_mean_sharded_matches():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=1e-9, atol=1e-11
     )
+
+
+def test_value_and_grad_sharded_matches():
+    kernel, x, y, s = _problem()
+    mesh = make_row_mesh(8)
+    key = jax.random.key(11)
+    kwargs = dict(num_probes=8, num_iters=200, tol=1e-12)
+    ref_lml, ref_g = log_marginal_value_and_grad_iterative(
+        kernel, x, y, s, key, **kwargs
+    )
+    got_lml, got_g = log_marginal_value_and_grad_iterative_sharded(
+        kernel, x, y, s, key, mesh=mesh, **kwargs
+    )
+    np.testing.assert_allclose(float(got_lml), float(ref_lml), rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(got_g), np.asarray(ref_g), rtol=1e-8, atol=1e-10
+    )
+
+
+def test_value_and_grad_sharded_preconditioned():
+    kernel, x, y, s = _problem()
+    mesh = make_row_mesh(8)
+    key = jax.random.key(5)
+    kwargs = dict(num_probes=8, num_iters=150, tol=1e-12)
+    ref_lml, ref_g = log_marginal_value_and_grad_iterative(
+        kernel, x, y, s, key, precond_rank=32, **kwargs
+    )
+    got_lml, got_g = log_marginal_value_and_grad_iterative_sharded(
+        kernel, x, y, s, key, mesh=mesh, precond_rank=32, **kwargs
+    )
+    np.testing.assert_allclose(float(got_lml), float(ref_lml), rtol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(got_g), np.asarray(ref_g), rtol=1e-7, atol=1e-9
+    )
+
+
+def test_mle_sharded_matches_single_device():
+    # identical per-step keys + f64 => the Adam trajectories agree to
+    # reduction-order round-off compounded over the steps
+    kernel, x, y, _ = _problem(n=256, seed=4)
+    mesh = make_row_mesh(8)
+    key = jax.random.key(9)
+    kwargs = dict(
+        num_steps=5, learning_rate=0.05, num_probes=4, num_iters=150,
+        tol=1e-12,
+    )
+    k_ref, s_ref, lml_ref, _ = fit_mle_iterative(
+        kernel, x, y, 0.4, key, **kwargs
+    )
+    k_got, s_got, lml_got, trace = fit_mle_iterative_sharded(
+        kernel, x, y, 0.4, key, mesh=mesh, **kwargs
+    )
+    np.testing.assert_allclose(
+        np.asarray(k_got.params), np.asarray(k_ref.params), rtol=1e-6
+    )
+    np.testing.assert_allclose(float(s_got), float(s_ref), rtol=1e-6)
+    np.testing.assert_allclose(lml_got, lml_ref, rtol=1e-6)
+    assert len(trace) == 5
 
 
 def test_sharded_matvec_is_global_matvec():
