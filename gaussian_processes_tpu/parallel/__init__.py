@@ -43,6 +43,11 @@ from gaussian_processes_tpu.parallel.iterative_sharded import (
     make_row_mesh,
     predict_mean_iterative_sharded,
 )
+from gaussian_processes_tpu.parallel.bayes_sharded import (
+    make_bayes_mesh,
+    make_log_posterior_iterative_datasharded,
+    sample_chees_iterative_sharded,
+)
 
 __all__ = [
     "BlockCyclicPosterior",
@@ -68,8 +73,11 @@ __all__ = [
     "fit_iterative_sharded",
     "fit_mle_iterative_sharded",
     "log_marginal_value_and_grad_iterative_sharded",
+    "make_bayes_mesh",
+    "make_log_posterior_iterative_datasharded",
     "make_row_mesh",
     "predict_mean_iterative_sharded",
+    "sample_chees_iterative_sharded",
     "fit_sharded",
     "make_grid_mesh",
     "predict_diag_sharded",

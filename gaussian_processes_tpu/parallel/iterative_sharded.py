@@ -298,6 +298,94 @@ def _draw_vg_probes(key, n, num_probes, precond_rank, dtype):
     return probes, xi1, xi2
 
 
+def _vg_local(
+    kernel, x_full, x_loc, y_loc, probes_loc, xi1, xi2_loc, noise, axis, *,
+    num_probes, num_iters, tol, jitter, block_size, precond_rank,
+):
+    """Per-device body of the sharded (lml, d lml/d theta) estimator.
+
+    Runs INSIDE a ``shard_map`` over ``axis`` with the data rows, probe
+    rows, and ``xi2`` rows sharded; returns the replicated (lml, grad)
+    with grad = (d/d kernel params..., d/d s).  Shared by the jit-once MLE
+    builder below and the data-sharded Bayesian log posterior
+    (parallel/bayes_sharded.py).
+    """
+    n = x_full.shape[0]
+    dtype = y_loc.dtype
+    P_k = kernel.n_params
+    red = lambda a: lax.psum(a, axis)  # noqa: E731
+    mv = _sharded_matvec(
+        kernel, x_full, x_loc, noise, jitter, block_size, axis
+    )
+    rhs = jnp.concatenate([y_loc[:, None], probes_loc], axis=1)
+    if precond_rank > 0:
+        sigma2 = jnp.square(noise) + jitter
+        L = _pivoted_cholesky_sharded(kernel, x_loc, precond_rank, axis)
+        pre = krylov.woodbury_inverse_apply(L, sigma2, allreduce=red)
+        sol, _ = krylov.pcg(
+            mv, pre, rhs, num_iters=num_iters, tol=tol, allreduce=red
+        )
+        alpha_loc = sol[:, 0]
+        Kinv_z_loc = sol[:, 1:]
+        slq_probes = (
+            jnp.dot(L, xi1, precision=lax.Precision.HIGHEST)
+            + jnp.sqrt(sigma2) * xi2_loc
+        )
+        logdet = krylov.slq_logdet_preconditioned(
+            mv, L, sigma2, None, num_probes, num_iters, n,
+            probes=slq_probes, allreduce=red,
+        )
+    else:
+        res = krylov.mbcg(mv, rhs, num_iters=num_iters, tol=tol,
+                          allreduce=red)
+        alpha_loc = res.solution[:, 0]
+        Kinv_z_loc = res.solution[:, 1:]
+        probe_norms = jnp.full((num_probes,), float(n), dtype)
+        logdet = krylov.slq_logdet_from_cg(
+            res.alphas[:, 1:], res.betas[:, 1:], probe_norms, n
+        )
+    lml = (
+        -0.5 * red(jnp.dot(y_loc, alpha_loc))
+        - 0.5 * logdet
+        - 0.5 * n * _LOG_2PI
+    )
+
+    # Hutchinson gradient: scan column blocks of the FULL x against
+    # this device's Jacobian row strips J_p(x_loc, block)
+    alpha_full = lax.all_gather(alpha_loc, axis, tiled=True)
+    probes_full = lax.all_gather(probes_loc, axis, tiled=True)
+    b = min(block_size, n)
+    nb = -(-n // b)
+    n_pad = nb * b
+    x_pad = krylov._pad_to(x_full, n_pad).reshape(nb, b, *x_full.shape[1:])
+    a_pad = krylov._pad_to(alpha_full[:, None], n_pad).reshape(nb, b, 1)
+    z_pad = krylov._pad_to(probes_full, n_pad).reshape(nb, b, num_probes)
+
+    def step(acc, xv):
+        xj, aj, zj = xv
+        Jj = kernel.jacobian(x_loc, xj)  # (P, n/D, b)
+        with jax.default_matmul_precision("highest"):
+            Ja = acc[0] + jnp.einsum("pnb,b->pn", Jj, aj[:, 0])
+            Jz = acc[1] + jnp.einsum("pnb,br->pnr", Jj, zj)
+        return (Ja, Jz), None
+
+    n_loc = x_loc.shape[0]
+    Ja0 = jnp.zeros((P_k, n_loc), dtype)
+    Jz0 = jnp.zeros((P_k, n_loc, num_probes), dtype)
+    (J_alpha, J_z), _ = lax.scan(step, (Ja0, Jz0), (x_pad, a_pad, z_pad))
+
+    quad = red(jnp.einsum("n,pn->p", alpha_loc, J_alpha))
+    trace_est = jnp.mean(
+        red(jnp.einsum("nr,pnr->pr", Kinv_z_loc, J_z)), axis=-1
+    )
+    grad_kernel = 0.5 * (quad - trace_est)
+    two_s = 2.0 * noise
+    quad_s = two_s * red(jnp.dot(alpha_loc, alpha_loc))
+    trace_s = two_s * jnp.mean(red(jnp.sum(Kinv_z_loc * probes_loc, axis=0)))
+    grad_s = 0.5 * (quad_s - trace_s)
+    return lml, jnp.concatenate([grad_kernel, grad_s[None]])
+
+
 def _build_vg_sharded(
     kernel_template, mesh, axis, *,
     num_probes, num_iters, tol, jitter, block_size, precond_rank, n, dtype,
@@ -308,81 +396,14 @@ def _build_vg_sharded(
     n_dev = mesh.shape[axis]
     if n % n_dev != 0:
         raise ValueError(f"mesh size ({n_dev}) must evenly divide n ({n})")
-    P_k = kernel_template.n_params
-    red = lambda a: lax.psum(a, axis)  # noqa: E731
 
     def local(x_full, x_loc, y_loc, probes_loc, xi1, xi2_loc, theta, noise):
         kernel = kernel_template.with_params(theta)
-        mv = _sharded_matvec(
-            kernel, x_full, x_loc, noise, jitter, block_size, axis
+        return _vg_local(
+            kernel, x_full, x_loc, y_loc, probes_loc, xi1, xi2_loc, noise,
+            axis, num_probes=num_probes, num_iters=num_iters, tol=tol,
+            jitter=jitter, block_size=block_size, precond_rank=precond_rank,
         )
-        rhs = jnp.concatenate([y_loc[:, None], probes_loc], axis=1)
-        if precond_rank > 0:
-            sigma2 = jnp.square(noise) + jitter
-            L = _pivoted_cholesky_sharded(kernel, x_loc, precond_rank, axis)
-            pre = krylov.woodbury_inverse_apply(L, sigma2, allreduce=red)
-            sol, _ = krylov.pcg(
-                mv, pre, rhs, num_iters=num_iters, tol=tol, allreduce=red
-            )
-            alpha_loc = sol[:, 0]
-            Kinv_z_loc = sol[:, 1:]
-            slq_probes = (
-                jnp.dot(L, xi1, precision=lax.Precision.HIGHEST)
-                + jnp.sqrt(sigma2) * xi2_loc
-            )
-            logdet = krylov.slq_logdet_preconditioned(
-                mv, L, sigma2, None, num_probes, num_iters, n,
-                probes=slq_probes, allreduce=red,
-            )
-        else:
-            res = krylov.mbcg(mv, rhs, num_iters=num_iters, tol=tol,
-                              allreduce=red)
-            alpha_loc = res.solution[:, 0]
-            Kinv_z_loc = res.solution[:, 1:]
-            probe_norms = jnp.full((num_probes,), float(n), dtype)
-            logdet = krylov.slq_logdet_from_cg(
-                res.alphas[:, 1:], res.betas[:, 1:], probe_norms, n
-            )
-        lml = (
-            -0.5 * red(jnp.dot(y_loc, alpha_loc))
-            - 0.5 * logdet
-            - 0.5 * n * _LOG_2PI
-        )
-
-        # Hutchinson gradient: scan column blocks of the FULL x against
-        # this device's Jacobian row strips J_p(x_loc, block)
-        alpha_full = lax.all_gather(alpha_loc, axis, tiled=True)
-        probes_full = lax.all_gather(probes_loc, axis, tiled=True)
-        b = min(block_size, n)
-        nb = -(-n // b)
-        n_pad = nb * b
-        x_pad = krylov._pad_to(x_full, n_pad).reshape(nb, b, *x_full.shape[1:])
-        a_pad = krylov._pad_to(alpha_full[:, None], n_pad).reshape(nb, b, 1)
-        z_pad = krylov._pad_to(probes_full, n_pad).reshape(nb, b, num_probes)
-
-        def step(acc, xv):
-            xj, aj, zj = xv
-            Jj = kernel.jacobian(x_loc, xj)  # (P, n/D, b)
-            with jax.default_matmul_precision("highest"):
-                Ja = acc[0] + jnp.einsum("pnb,b->pn", Jj, aj[:, 0])
-                Jz = acc[1] + jnp.einsum("pnb,br->pnr", Jj, zj)
-            return (Ja, Jz), None
-
-        n_loc = x_loc.shape[0]
-        Ja0 = jnp.zeros((P_k, n_loc), dtype)
-        Jz0 = jnp.zeros((P_k, n_loc, num_probes), dtype)
-        (J_alpha, J_z), _ = lax.scan(step, (Ja0, Jz0), (x_pad, a_pad, z_pad))
-
-        quad = red(jnp.einsum("n,pn->p", alpha_loc, J_alpha))
-        trace_est = jnp.mean(
-            red(jnp.einsum("nr,pnr->pr", Kinv_z_loc, J_z)), axis=-1
-        )
-        grad_kernel = 0.5 * (quad - trace_est)
-        two_s = 2.0 * noise
-        quad_s = two_s * red(jnp.dot(alpha_loc, alpha_loc))
-        trace_s = two_s * jnp.mean(red(jnp.sum(Kinv_z_loc * probes_loc, axis=0)))
-        grad_s = 0.5 * (quad_s - trace_s)
-        return lml, jnp.concatenate([grad_kernel, grad_s[None]])
 
     return jax.jit(
         jax.shard_map(
