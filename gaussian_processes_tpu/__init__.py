@@ -57,6 +57,13 @@ from gaussian_processes_tpu.models.gp import (
     log_marginal_all,
     likelihood_value_grad_hessian,
 )
+from gaussian_processes_tpu.models.pathwise import (
+    FourierFeatures,
+    periodic_harmonic_features,
+    prior_features,
+    sample_posterior_pathwise,
+    sample_posterior_pathwise_iterative,
+)
 from gaussian_processes_tpu.models.gp_object import GP
 from gaussian_processes_tpu.inference import (
     fit_mle,
@@ -95,6 +102,11 @@ __all__ = [
     "log_marginal_hessian",
     "log_marginal_all",
     "likelihood_value_grad_hessian",
+    "FourierFeatures",
+    "periodic_harmonic_features",
+    "prior_features",
+    "sample_posterior_pathwise",
+    "sample_posterior_pathwise_iterative",
     "GP",
     "fit_mle",
     "fit_mle_restarts",
