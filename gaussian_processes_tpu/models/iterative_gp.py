@@ -48,7 +48,23 @@ class IterativePosterior:
     num_iters: jax.Array
 
 
-def _matvec(kernel, x, noise, jitter, block_size):
+def _matvec(kernel, x, noise, jitter, block_size, structure="none"):
+    if structure == "toeplitz":
+        # uniform-grid inputs: K is symmetric Toeplitz — O(n log n) FFT
+        # matvec instead of the O(n^2) strip (ops/toeplitz.py; caller
+        # asserts the grid with toeplitz.is_uniform_grid)
+        from gaussian_processes_tpu.ops import toeplitz
+
+        col = toeplitz.toeplitz_column(kernel, x)
+        shift = jnp.square(jnp.asarray(noise)) + jitter
+
+        def mv(v):
+            return toeplitz.toeplitz_matvec(col, v, shift)
+
+        return mv
+    if structure != "none":
+        raise ValueError(f"unknown structure: {structure!r}")
+
     def mv(v):
         return krylov.kernel_matvec(
             kernel, x, v, noise, jitter, block_size=block_size
@@ -70,12 +86,20 @@ def fit_iterative(
     jitter: float = 0.0,
     block_size: int = 1024,
     precond_rank: int = 0,
+    structure: str = "none",
 ) -> IterativePosterior:
     """Matrix-free exact-GP fit; memory O(n * max(block_size, precond_rank)).
 
     ``precond_rank > 0`` solves alpha with pivoted-Cholesky-preconditioned
     CG (breaks the f32 conditioning stall at large N; the SLQ logdet
     keeps the plain-CG probes so its quadrature identity holds).
+
+    ``structure="toeplitz"`` (uniform-grid x only — assert with
+    ``ops.toeplitz.is_uniform_grid``): every matvec becomes an
+    O(n log n) FFT product.  With ``precond_rank == 0`` the alpha solve
+    additionally uses the (free) Strang circulant preconditioner; pass
+    ``precond_rank > 0`` to keep the pivoted-Cholesky preconditioner and
+    its preconditioned SLQ log-marginal at hard conditioning.
     """
     x = jnp.asarray(x)
     y = jnp.asarray(y)
@@ -85,7 +109,7 @@ def fit_iterative(
     n = x.shape[0]
     dtype = y.dtype
 
-    mv = _matvec(kernel, x, noise, jitter, block_size)
+    mv = _matvec(kernel, x, noise, jitter, block_size, structure)
     if precond_rank > 0:
         # preconditioned path: PCG for alpha, preconditioned SLQ for the
         # logdet (probes ~ N(0, P), exact logdet(P) correction) — both
@@ -102,14 +126,35 @@ def fit_iterative(
         )
     else:
         probes = jax.random.rademacher(key, (n, num_probes), dtype=dtype)
-        rhs = jnp.concatenate([y[:, None], probes], axis=1)
-        res = krylov.mbcg(mv, rhs, num_iters=num_iters, tol=tol)
-        alpha = res.solution[:, 0]
-        solve_residual = res.residual_norm[0]
-        probe_norms = jnp.full((num_probes,), float(n), dtype)
-        logdet = krylov.slq_logdet_from_cg(
-            res.alphas[:, 1:], res.betas[:, 1:], probe_norms, n
-        )
+        if structure == "toeplitz":
+            # alpha through circulant-preconditioned CG (free, converges
+            # far faster); the SLQ probes stay on plain CG so the
+            # tridiagonal quadrature identity is unchanged
+            from gaussian_processes_tpu.ops import toeplitz
+
+            col = toeplitz.toeplitz_column(kernel, x)
+            pre = toeplitz.strang_circulant_precond(
+                col, jnp.square(noise) + jitter
+            )
+            sol, rn = krylov.pcg(
+                mv, pre, y[:, None], num_iters=num_iters, tol=tol
+            )
+            alpha = sol[:, 0]
+            solve_residual = rn[0]
+            res = krylov.mbcg(mv, probes, num_iters=num_iters, tol=tol)
+            probe_norms = jnp.full((num_probes,), float(n), dtype)
+            logdet = krylov.slq_logdet_from_cg(
+                res.alphas, res.betas, probe_norms, n
+            )
+        else:
+            rhs = jnp.concatenate([y[:, None], probes], axis=1)
+            res = krylov.mbcg(mv, rhs, num_iters=num_iters, tol=tol)
+            alpha = res.solution[:, 0]
+            solve_residual = res.residual_norm[0]
+            probe_norms = jnp.full((num_probes,), float(n), dtype)
+            logdet = krylov.slq_logdet_from_cg(
+                res.alphas[:, 1:], res.betas[:, 1:], probe_norms, n
+            )
     lml = -0.5 * jnp.dot(y, alpha) - 0.5 * logdet - 0.5 * n * _LOG_2PI
     return IterativePosterior(
         kernel=kernel,
@@ -149,17 +194,21 @@ def predict_diag_iterative(
     jitter: float = 0.0,
     block_size: int = 1024,
     precond_rank: int = 0,
+    structure: str = "none",
 ) -> Tuple[jax.Array, jax.Array]:
     """Mean and per-point variance; one CG solve per test batch.
 
     var_i = k(xo_i, xo_i) - k_i^T K^-1 k_i with the m cross-covariance
     columns solved together by (optionally preconditioned) batched CG
-    (memory O(n * m)).
+    (memory O(n * m)).  ``structure="toeplitz"`` (uniform-grid training x)
+    runs the solves with FFT matvecs.
     """
     xo = jnp.asarray(xo)
     with jax.default_matmul_precision("highest"):
         Kxxo = post.kernel(post.x, xo)  # (n, m)
-        mv = _matvec(post.kernel, post.x, post.noise, jitter, block_size)
+        mv = _matvec(
+            post.kernel, post.x, post.noise, jitter, block_size, structure
+        )
         if precond_rank > 0:
             L = krylov.pivoted_cholesky(post.kernel, post.x, precond_rank)
             pre = krylov.woodbury_inverse_apply(
@@ -187,12 +236,14 @@ def fit_mle_iterative(
     tol: float = 1e-6,
     jitter: float = 0.0,
     block_size: int = 1024,
+    structure: str = "none",
 ):
     """Type-II MLE at matrix-free scale: Adam on the stochastic
     (value, grad) pairs from ``log_marginal_value_and_grad_iterative``.
 
     Fresh probes each step act as minibatch noise; Adam averages through
     it.  Returns (kernel, noise, last_lml_estimate, lml_trace).
+    ``structure="toeplitz"`` makes every step O(n log n) on grids.
     """
     import optax
 
@@ -213,7 +264,7 @@ def fit_mle_iterative(
         lml, g_theta = log_marginal_value_and_grad_iterative(
             kern, x, y, theta[P], k,
             num_probes=num_probes, num_iters=num_iters, tol=tol,
-            jitter=jitter, block_size=block_size,
+            jitter=jitter, block_size=block_size, structure=structure,
         )
         g_u = -g_theta * theta  # d(-lml)/du via chain rule through exp
         updates, opt_state = opt.update(g_u, opt_state, u)
@@ -244,6 +295,7 @@ def log_marginal_value_and_grad_iterative(
     block_size: int = 1024,
     precond_rank: int = 0,
     early_exit: bool = False,
+    structure: str = "none",
 ):
     """(lml_estimate, d lml / d theta) matrix-free, theta = (kernel..., s).
 
@@ -252,6 +304,10 @@ def log_marginal_value_and_grad_iterative(
     logdet, and K_p v computed by strip matvecs of the kernel Jacobian.
     With ``precond_rank > 0``, all solves run preconditioned CG and the
     logdet uses the preconditioned-SLQ estimator (large-N f32 regime).
+
+    ``structure="toeplitz"`` (uniform-grid x): the solve matvecs AND the
+    Jacobian contractions K_p v become O(n log n) FFT products — dK/dtheta
+    of a stationary kernel is stationary, so each J_p is Toeplitz too.
     """
     x = jnp.asarray(x)
     y = jnp.asarray(y)
@@ -264,7 +320,7 @@ def log_marginal_value_and_grad_iterative(
 
     probes = jax.random.rademacher(key, (n, num_probes), dtype=dtype)
     rhs = jnp.concatenate([y[:, None], probes], axis=1)
-    mv = _matvec(kernel, x, noise, jitter, block_size)
+    mv = _matvec(kernel, x, noise, jitter, block_size, structure)
     if precond_rank > 0:
         probe_key, _ = jax.random.split(key)
         L = krylov.pivoted_cholesky(kernel, x, precond_rank)
@@ -289,7 +345,15 @@ def log_marginal_value_and_grad_iterative(
 
     from gaussian_processes_tpu.ops import pairwise
 
-    if (
+    if structure == "toeplitz":
+        from gaussian_processes_tpu.ops import toeplitz
+
+        jcols = toeplitz.jacobian_columns(kernel, x)  # (P, n)
+        U = jnp.concatenate([alpha[:, None], probes], axis=1)  # (n, r+1)
+        JU = jax.vmap(lambda c: toeplitz.toeplitz_matvec(c, U))(jcols)
+        J_alpha = JU[:, :, 0]
+        J_z = JU[:, :, 1:]
+    elif (
         jax.default_backend() == "tpu"
         and pairwise.supports_fused_jacvec(kernel, x)
     ):

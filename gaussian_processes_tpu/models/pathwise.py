@@ -331,6 +331,7 @@ def sample_posterior_pathwise_iterative(
     jitter: float = 0.0,
     block_size: int = 2048,
     precond_rank: int = 0,
+    structure: str = "none",
 ) -> jax.Array:
     """Posterior function draws at matrix-free scale — no N x N array.
 
@@ -339,18 +340,34 @@ def sample_posterior_pathwise_iterative(
     matvec.  This is the path that makes posterior *functions* available
     at N = 65k+ on one chip (the dense sampler needs a dense factor).
     Memory: O(n * max(n_samples, block_size, precond_rank)).
+    ``structure="toeplitz"`` (uniform-grid training x) runs the Matheron
+    solve with O(n log n) FFT matvecs.
     """
     xo = jnp.asarray(xo)
     kernel, x, y, noise = post.kernel, post.x, post.y, post.noise
     feats, u, resid = _pathwise_terms(
         kernel, x, y, noise, key, n_samples, num_features
     )
-    mv = krylov.kernel_matvec
-    matvec = lambda V: mv(kernel, x, V, noise, jitter, block_size=block_size)  # noqa: E731
+    if structure == "toeplitz":
+        from gaussian_processes_tpu.ops import toeplitz
+
+        col = toeplitz.toeplitz_column(kernel, x)
+        shift = jnp.square(noise) + jitter
+        matvec = lambda V: toeplitz.toeplitz_matvec(col, V, shift)  # noqa: E731
+    else:
+        mv = krylov.kernel_matvec
+        matvec = lambda V: mv(kernel, x, V, noise, jitter, block_size=block_size)  # noqa: E731
     if precond_rank > 0:
         L = krylov.pivoted_cholesky(kernel, x, precond_rank)
         pre = krylov.woodbury_inverse_apply(
             L, jnp.square(noise) + jitter
+        )
+        v, _ = krylov.pcg(matvec, pre, resid, num_iters=num_iters, tol=tol)
+    elif structure == "toeplitz":
+        from gaussian_processes_tpu.ops import toeplitz
+
+        pre = toeplitz.strang_circulant_precond(
+            toeplitz.toeplitz_column(kernel, x), jnp.square(noise) + jitter
         )
         v, _ = krylov.pcg(matvec, pre, resid, num_iters=num_iters, tol=tol)
     else:

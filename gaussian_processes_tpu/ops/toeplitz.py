@@ -1,0 +1,133 @@
+"""Toeplitz-structured kernel algebra for uniform 1-D grids (FFT matvecs).
+
+When the training inputs are an evenly spaced grid, every stationary
+kernel matrix here is symmetric Toeplitz: K[i, j] = k((i - j) dx) is
+fully described by its first column.  That collapses the iterative
+path's O(n^2) on-the-fly strip matvec (ops/krylov.py::kernel_matvec) to
+an O(n log n) circulant-embedding FFT product — the classic structured
+trick, rebuilt here on XLA's TPU FFT:
+
+    embed col into a length-2n circulant   c = [col, 0, col[n-1:0:-1]]
+    (T v) = irfft(rfft(c) * rfft([v, 0]))[:n]
+
+Gradients come along for free: dK/dtheta_p of a stationary kernel is
+stationary too, so the Hutchinson trace terms of the matrix-free
+log-marginal gradient are FFT products of the *Jacobian* columns.
+
+Also here: the Strang circulant preconditioner — the nearest circulant
+to T (wrap the column at n/2), whose inverse applies in one more FFT
+pair.  For Toeplitz systems it clusters the spectrum at 1, replacing the
+O(n k^2) pivoted-Cholesky preconditioner build with something free.
+
+This is the 1-D analogue of "exploit structure before brute force": the
+reference library (SURVEY.md §1 — exact 1-D GP regression) is exactly
+the regime where gridded designs are common (time series, signals), and
+on TPU the FFT path turns config-#4-sized fits into sub-second work.
+Everything is gated against the dense/strip paths in
+tests/test_toeplitz.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gaussian_processes_tpu.models.base import Kernel
+
+
+def is_uniform_grid(x, rtol: float = 1e-5) -> bool:
+    """Host-side check that ``x`` is sorted and evenly spaced.
+
+    Call this OUTSIDE jit (it concretizes) to decide whether the
+    ``structure="toeplitz"`` fast path applies.
+    """
+    import numpy as np
+
+    x = np.asarray(x)
+    if x.ndim != 1 or x.shape[0] < 2:
+        return False
+    d = np.diff(x)
+    dx = d.mean()
+    if dx == 0:
+        return False
+    return bool(np.max(np.abs(d - dx)) <= rtol * abs(dx))
+
+
+def toeplitz_column(kernel: Kernel, x: jax.Array) -> jax.Array:
+    """First column of K_f(x, x) for a uniform grid x: col[i] = k(x_i - x_0)."""
+    x = jnp.asarray(x)
+    return kernel(x, x[:1])[:, 0]
+
+
+def jacobian_columns(kernel: Kernel, x: jax.Array) -> jax.Array:
+    """First columns of dK/dtheta_p, shape (P, n) — each Toeplitz too."""
+    x = jnp.asarray(x)
+    return kernel.jacobian(x, x[:1])[:, :, 0]
+
+
+def _embed_fft(col: jax.Array) -> jax.Array:
+    """rfft of the length-2n circulant embedding of a symmetric Toeplitz."""
+    n = col.shape[0]
+    emb = jnp.concatenate([col, jnp.zeros((1,), col.dtype), col[1:][::-1]])
+    del n
+    return jnp.fft.rfft(emb)
+
+
+def toeplitz_matvec(col: jax.Array, v: jax.Array, shift=0.0) -> jax.Array:
+    """(T + shift I) @ v for symmetric Toeplitz T with first column ``col``.
+
+    ``v``: (n,) or (n, r).  One length-2n rfft/irfft pair — O(n log n)
+    and bandwidth-bound, vs the O(n^2) kernel-eval strip matvec.
+    """
+    col = jnp.asarray(col)
+    n = col.shape[0]
+    squeeze = v.ndim == 1
+    v2 = v[:, None] if squeeze else v
+    fc = _embed_fft(col)  # (n + 1,) complex
+    vp = jnp.pad(v2, ((0, n), (0, 0)))
+    fv = jnp.fft.rfft(vp, axis=0)
+    prod = fc[:, None] * fv
+    out = jnp.fft.irfft(prod, n=2 * n, axis=0)[:n]
+    out = out.astype(v2.dtype) + jnp.asarray(shift, v2.dtype) * v2
+    return out[:, 0] if squeeze else out
+
+
+def kernel_matvec_toeplitz(
+    kernel: Kernel, x: jax.Array, v: jax.Array, noise, jitter: float = 0.0
+) -> jax.Array:
+    """(K_f(x, x) + (noise^2 + jitter) I) @ v on a uniform grid.
+
+    Drop-in for ops/krylov.py::kernel_matvec when ``is_uniform_grid(x)``.
+    """
+    col = toeplitz_column(kernel, x)
+    shift = jnp.square(jnp.asarray(noise)) + jitter
+    return toeplitz_matvec(col, v, shift)
+
+
+def strang_circulant_precond(col: jax.Array, shift):
+    """v -> (C_s + shift I)^-1 v, C_s = Strang's nearest circulant to T.
+
+    The wrap-around column keeps lags up to n/2 and reflects the rest;
+    eigenvalues are the (real) DFT of that column.  Near-zero or negative
+    eigenvalues (possible for truncated tails) are floored so the
+    preconditioner stays SPD — CG only needs P ~ A, not P = A.
+    Build and apply are both O(n log n); use instead of the pivoted-
+    Cholesky preconditioner on grids.
+    """
+    col = jnp.asarray(col)
+    n = col.shape[0]
+    idx = jnp.arange(n)
+    wrap = jnp.where(idx <= n // 2, idx, n - idx)
+    cs = col[wrap]
+    lam = jnp.fft.rfft(cs).real + jnp.asarray(shift, col.dtype)
+    floor = 1e-6 * jnp.max(jnp.abs(lam)) + jnp.asarray(shift, col.dtype) * 0.5
+    lam = jnp.maximum(lam, floor)
+
+    def apply(v):
+        squeeze = v.ndim == 1
+        v2 = v[:, None] if squeeze else v
+        fv = jnp.fft.rfft(v2, axis=0)
+        out = jnp.fft.irfft(fv / lam[:, None], n=n, axis=0).astype(v2.dtype)
+        return out[:, 0] if squeeze else out
+
+    return apply

@@ -1,0 +1,198 @@
+"""Toeplitz/FFT structured path tests (uniform-grid inputs).
+
+Gates: FFT matvec vs the dense kernel matrix product (exact to FFT
+round-off in f64); circulant preconditioner applies (C_s + sI)^-1
+correctly and accelerates CG; fit/grad/predict through
+``structure="toeplitz"`` match the dense and strip paths.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussian_processes_tpu import (
+    GaussianKernel,
+    Matern32Kernel,
+    PeriodicKernel,
+    fit,
+    fit_iterative,
+    log_marginal_value_and_grad,
+    log_marginal_value_and_grad_iterative,
+    predict_diag,
+    predict_diag_iterative,
+)
+from gaussian_processes_tpu.ops import krylov, toeplitz
+
+
+def _grid(n, lo=-2.0, hi=2.0):
+    return jnp.linspace(lo, hi, n, dtype=jnp.float64)
+
+
+KERNELS = [
+    GaussianKernel(h=1.2, w=0.4),
+    Matern32Kernel(h=0.9, w=0.6),
+    PeriodicKernel(h=1.0, w=0.8, p=0.9),
+]
+
+
+def test_is_uniform_grid():
+    assert toeplitz.is_uniform_grid(np.linspace(0, 1, 64))
+    assert not toeplitz.is_uniform_grid(np.sort(np.random.default_rng(0).uniform(0, 1, 64)))
+    assert not toeplitz.is_uniform_grid(np.zeros((4, 2)))
+
+
+@pytest.mark.parametrize("kernel", KERNELS, ids=lambda k: type(k).__name__)
+def test_toeplitz_matvec_matches_dense(kernel):
+    n = 129  # odd size exercises the irfft length handling
+    x = _grid(n)
+    rng = np.random.default_rng(1)
+    v = jnp.asarray(rng.standard_normal((n, 3)))
+    K = kernel(x, x)
+    want = K @ v + 0.3 * v
+    got = toeplitz.kernel_matvec_toeplitz(
+        kernel, x, v, noise=jnp.sqrt(0.3 - 1e-4), jitter=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-9)
+    # 1-D rhs path
+    got1 = toeplitz.toeplitz_matvec(
+        toeplitz.toeplitz_column(kernel, x), v[:, 0], 0.3
+    )
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(want[:, 0]), atol=1e-9)
+
+
+def test_jacobian_columns_are_toeplitz_columns():
+    kernel = GaussianKernel(h=1.1, w=0.5)
+    x = _grid(64)
+    J = kernel.jacobian(x, x)  # (P, n, n)
+    jcols = toeplitz.jacobian_columns(kernel, x)
+    rng = np.random.default_rng(2)
+    v = jnp.asarray(rng.standard_normal(64))
+    for p in range(2):
+        want = J[p] @ v
+        got = toeplitz.toeplitz_matvec(jcols[p], v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-9)
+
+
+def test_strang_precond_is_inverse_of_circulant():
+    kernel = GaussianKernel(h=1.0, w=0.3)
+    x = _grid(128)
+    col = toeplitz.toeplitz_column(kernel, x)
+    n = col.shape[0]
+    idx = np.arange(n)
+    wrap = np.where(idx <= n // 2, idx, n - idx)
+    cs = np.asarray(col)[wrap]
+    C = np.empty((n, n))
+    for i in range(n):
+        C[i] = np.roll(cs, i)
+    s = 0.25
+    apply = toeplitz.strang_circulant_precond(col, s)
+    rng = np.random.default_rng(3)
+    v = jnp.asarray(rng.standard_normal((n, 2)))
+    got = apply(v)
+    want = np.linalg.solve(C + s * np.eye(n), np.asarray(v))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-8)
+
+
+def test_circulant_precond_accelerates_cg():
+    kernel = GaussianKernel(h=1.0, w=0.5)
+    x = _grid(256)
+    col = toeplitz.toeplitz_column(kernel, x)
+    shift = 1e-2
+    mv = lambda v: toeplitz.toeplitz_matvec(col, v, shift)  # noqa: E731
+    rng = np.random.default_rng(4)
+    b = jnp.asarray(rng.standard_normal((256, 1)))
+    _, rn_plain = krylov.pcg(mv, lambda v: v, b, num_iters=25, tol=1e-14)
+    pre = toeplitz.strang_circulant_precond(col, shift)
+    _, rn_pre = krylov.pcg(mv, pre, b, num_iters=25, tol=1e-14)
+    assert float(rn_pre[0]) < 0.1 * float(rn_plain[0]), (
+        float(rn_pre[0]),
+        float(rn_plain[0]),
+    )
+
+
+def test_fit_iterative_toeplitz_matches_dense():
+    kernel = GaussianKernel(h=1.0, w=0.35)
+    n = 200
+    x = _grid(n)
+    rng = np.random.default_rng(5)
+    y = jnp.asarray(
+        np.sin(3 * np.asarray(x)) + 0.2 * rng.standard_normal(n)
+    )
+    dense = fit(kernel, x, y, 0.2, jitter=1e-8)
+    it = fit_iterative(
+        kernel, x, y, 0.2, jax.random.key(0),
+        num_probes=32, num_iters=200, tol=1e-12, jitter=1e-8,
+        structure="toeplitz",
+    )
+    np.testing.assert_allclose(
+        np.asarray(it.alpha), np.asarray(dense.alpha), atol=1e-7
+    )
+    # SLQ logdet is stochastic: sub-percent of the exact value
+    assert abs(float(it.log_marginal) - float(dense.log_marginal)) < 0.01 * abs(
+        float(dense.log_marginal)
+    )
+    xo = _grid(33, -1.5, 1.5)
+    m_d, v_d = predict_diag(dense, xo)
+    m_i, v_i = predict_diag_iterative(
+        it, xo, num_iters=200, tol=1e-12, jitter=1e-8, structure="toeplitz"
+    )
+    np.testing.assert_allclose(np.asarray(m_i), np.asarray(m_d), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(v_i), np.asarray(v_d), atol=1e-6)
+
+
+def test_value_and_grad_toeplitz_matches_strip_and_dense():
+    kernel = Matern32Kernel(h=0.9, w=0.5)
+    n = 160
+    x = _grid(n)
+    rng = np.random.default_rng(6)
+    y = jnp.asarray(
+        np.sin(2 * np.asarray(x)) + 0.3 * rng.standard_normal(n)
+    )
+    key = jax.random.key(9)
+    lml_t, g_t = log_marginal_value_and_grad_iterative(
+        kernel, x, y, 0.3, key,
+        num_probes=16, num_iters=200, tol=1e-12, jitter=1e-8,
+        structure="toeplitz",
+    )
+    lml_s, g_s = log_marginal_value_and_grad_iterative(
+        kernel, x, y, 0.3, key,
+        num_probes=16, num_iters=200, tol=1e-12, jitter=1e-8,
+    )
+    # same probes, converged solves => same stochastic estimate
+    np.testing.assert_allclose(float(lml_t), float(lml_s), rtol=1e-8)
+    np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_s), rtol=1e-6, atol=1e-8)
+    # and the stochastic gradient sits near the analytic one
+    lml_a, g_a = log_marginal_value_and_grad(kernel, x, y, 0.3, jitter=1e-8)
+    np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_a), rtol=0.3, atol=0.5)
+
+
+def test_pathwise_iterative_toeplitz_matches_plain():
+    from gaussian_processes_tpu import (
+        sample_posterior_pathwise_iterative,
+    )
+
+    kernel = GaussianKernel(h=1.0, w=0.5)
+    n = 120
+    x = _grid(n)
+    rng = np.random.default_rng(7)
+    y = jnp.asarray(
+        np.sin(2 * np.asarray(x)) + 0.2 * rng.standard_normal(n)
+    )
+    post = fit_iterative(
+        kernel, x, y, 0.2, jax.random.key(0),
+        num_probes=4, num_iters=150, tol=1e-12, jitter=1e-8,
+    )
+    xo = _grid(9, -1.0, 1.0)
+    key = jax.random.key(3)
+    d_plain = sample_posterior_pathwise_iterative(
+        post, xo, key, n_samples=4, num_features=256,
+        num_iters=200, tol=1e-13, jitter=1e-8, block_size=32,
+    )
+    d_toep = sample_posterior_pathwise_iterative(
+        post, xo, key, n_samples=4, num_features=256,
+        num_iters=200, tol=1e-13, jitter=1e-8, structure="toeplitz",
+    )
+    np.testing.assert_allclose(
+        np.asarray(d_plain), np.asarray(d_toep), atol=1e-7
+    )
