@@ -217,6 +217,50 @@ def bench_iterative():
            "vs_baseline": None})
 
 
+def bench_toeplitz():
+    """Gridded-input structured path: FFT matvecs + circulant preconditioner.
+
+    Two metrics: the N=65536 gridded fit (same workload class as the
+    iterative section but on a uniform grid, where the Toeplitz path
+    applies — measured 24x over the strip+pivoted-Cholesky fit) and an
+    N=2^20 fit, a size with no dense equivalent anywhere (K would be
+    4.4 TB).
+    """
+    import uuid
+
+    import jax
+    import jax.numpy as jnp
+
+    from gaussian_processes_tpu import GaussianKernel, fit_iterative
+
+    rng = np.random.default_rng()
+    nonce = float(int(uuid.uuid4()) % 1000003) * 1e-30
+
+    for n, iters in ((65536, 150), (1048576, 200)):
+        w = max(100.0 * 2 * np.pi / n, 1e-4)
+        kern = GaussianKernel(h=jnp.asarray(1.0, DTYPE), w=jnp.asarray(w, DTYPE))
+        x = np.linspace(-np.pi, np.pi, n).astype(DTYPE)
+        y = (np.sin(50 * x) + 0.1 * rng.standard_normal(n)).astype(DTYPE)
+
+        @jax.jit
+        def f(x_, y_, kern=kern, iters=iters):
+            p = fit_iterative(kern, x_, y_, 0.1, jax.random.key(0),
+                              num_probes=8, num_iters=iters, tol=1e-6,
+                              jitter=1e-4, structure="toeplitz")
+            return p.log_marginal + nonce, p.solve_residual
+
+        inputs = [
+            (jnp.asarray(x), jnp.asarray(y * np.float32(1 + rng.random() * 1e-3)))
+            for _ in range(4 if n < 1e6 else 3)
+        ]
+        med, out = _probe_walls(jax, lambda a, b: f(a, b), inputs)
+        lml, res = out
+        assert bool(jnp.isfinite(lml)), "non-finite lml"
+        _emit({"metric": f"toeplitz_gp_fit_n{n}_grid_{DTYPE}_wall",
+               "value": round(med, 4), "unit": "s",
+               "residual": float(res), "vs_baseline": None})
+
+
 def _sampler_problem(n=500, n_chains=64):
     import jax
     import jax.numpy as jnp
@@ -300,6 +344,7 @@ _SECTIONS = {
     "fit": bench_fit,
     "chol": bench_chol,
     "iterative": bench_iterative,
+    "toeplitz": bench_toeplitz,
     "chees": bench_chees,
     "nuts": bench_nuts,
 }
