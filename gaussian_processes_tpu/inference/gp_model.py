@@ -96,8 +96,14 @@ def make_log_posterior_iterative(
     block_size: int = 1024,
     precond_rank: int = 0,
     early_exit: bool = True,
+    structure: str = "none",
 ) -> Callable:
     """Matrix-free log posterior over u = log(theta) for NUTS/ChEES.
+
+    ``structure="toeplitz"`` (uniform-grid x): every leapfrog step's
+    solves and Jacobian contractions run as O(n log n) FFT products
+    (ops/toeplitz.py) — fully Bayesian hyperparameter sampling at
+    N ~ 10^6 on one chip.
 
     The round-2 bridge (VERDICT r1 item 2) between the matrix-free stack
     (models/iterative_gp.py: PCG solves + SLQ logdet, O(n·block) memory,
@@ -142,6 +148,7 @@ def make_log_posterior_iterative(
             # the full budget — a per-leapfrog wall-clock saver; results
             # are bit-identical to the fixed scan (masked freeze)
             early_exit=early_exit and precond_rank > 0,
+            structure=structure,
         )
         lp = lml - 0.5 * jnp.sum(jnp.square((u - mu) / sd))
         g_u = g_theta * theta - (u - mu) / jnp.square(sd)

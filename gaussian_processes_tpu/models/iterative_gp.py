@@ -48,7 +48,27 @@ class IterativePosterior:
     num_iters: jax.Array
 
 
+def _is_ski(structure) -> bool:
+    from gaussian_processes_tpu.ops import ski as ski_ops
+
+    return isinstance(structure, ski_ops.SKIOperator)
+
+
 def _matvec(kernel, x, noise, jitter, block_size, structure="none"):
+    if _is_ski(structure):
+        # scattered inputs through an inducing grid (SKI / KISS-GP):
+        # (W T W^T + s^2 I) v = O(n) gather/scatter + O(m log m) FFT
+        # (ops/ski.py; build the operator with ski.interpolation_weights)
+        from gaussian_processes_tpu.ops import ski as ski_ops
+        from gaussian_processes_tpu.ops import toeplitz
+
+        col = toeplitz.toeplitz_column(kernel, structure.grid)
+        shift = jnp.square(jnp.asarray(noise)) + jitter
+
+        def mv(v):
+            return ski_ops.ski_matvec(structure, col, v, shift)
+
+        return mv
     if structure == "toeplitz":
         # uniform-grid inputs: K is symmetric Toeplitz — O(n log n) FFT
         # matvec instead of the O(n^2) strip (ops/toeplitz.py; caller
@@ -100,6 +120,11 @@ def fit_iterative(
     additionally uses the (free) Strang circulant preconditioner; pass
     ``precond_rank > 0`` to keep the pivoted-Cholesky preconditioner and
     its preconditioned SLQ log-marginal at hard conditioning.
+
+    ``structure=ops.ski.SKIOperator`` (from ``ski.interpolation_weights``):
+    SKI/KISS-GP for *scattered* inputs — matvecs are O(n + m log m)
+    products through the inducing grid; the target is the SKI surrogate
+    K_ski = W K_g W^T (converges to K as the grid refines).
     """
     x = jnp.asarray(x)
     y = jnp.asarray(y)
@@ -124,37 +149,34 @@ def fit_iterative(
         logdet = krylov.slq_logdet_preconditioned(
             mv, L, sigma2, probe_key, num_probes, num_iters, n
         )
+    elif structure == "toeplitz":
+        # circulant-preconditioned path (free Strang preconditioner):
+        # PCG for alpha, circulant-preconditioned SLQ for the logdet —
+        # the grid analogue of the pivoted-Cholesky branch above
+        from gaussian_processes_tpu.ops import toeplitz
+
+        probe_key, _ = jax.random.split(key)
+        col = toeplitz.toeplitz_column(kernel, x)
+        shift = jnp.square(noise) + jitter
+        pre = toeplitz.strang_circulant_precond(col, shift)
+        sol, rn = krylov.pcg(
+            mv, pre, y[:, None], num_iters=num_iters, tol=tol
+        )
+        alpha = sol[:, 0]
+        solve_residual = rn[0]
+        logdet = toeplitz.slq_logdet_circulant(
+            mv, col, shift, probe_key, num_probes, num_iters
+        )
     else:
         probes = jax.random.rademacher(key, (n, num_probes), dtype=dtype)
-        if structure == "toeplitz":
-            # alpha through circulant-preconditioned CG (free, converges
-            # far faster); the SLQ probes stay on plain CG so the
-            # tridiagonal quadrature identity is unchanged
-            from gaussian_processes_tpu.ops import toeplitz
-
-            col = toeplitz.toeplitz_column(kernel, x)
-            pre = toeplitz.strang_circulant_precond(
-                col, jnp.square(noise) + jitter
-            )
-            sol, rn = krylov.pcg(
-                mv, pre, y[:, None], num_iters=num_iters, tol=tol
-            )
-            alpha = sol[:, 0]
-            solve_residual = rn[0]
-            res = krylov.mbcg(mv, probes, num_iters=num_iters, tol=tol)
-            probe_norms = jnp.full((num_probes,), float(n), dtype)
-            logdet = krylov.slq_logdet_from_cg(
-                res.alphas, res.betas, probe_norms, n
-            )
-        else:
-            rhs = jnp.concatenate([y[:, None], probes], axis=1)
-            res = krylov.mbcg(mv, rhs, num_iters=num_iters, tol=tol)
-            alpha = res.solution[:, 0]
-            solve_residual = res.residual_norm[0]
-            probe_norms = jnp.full((num_probes,), float(n), dtype)
-            logdet = krylov.slq_logdet_from_cg(
-                res.alphas[:, 1:], res.betas[:, 1:], probe_norms, n
-            )
+        rhs = jnp.concatenate([y[:, None], probes], axis=1)
+        res = krylov.mbcg(mv, rhs, num_iters=num_iters, tol=tol)
+        alpha = res.solution[:, 0]
+        solve_residual = res.residual_norm[0]
+        probe_norms = jnp.full((num_probes,), float(n), dtype)
+        logdet = krylov.slq_logdet_from_cg(
+            res.alphas[:, 1:], res.betas[:, 1:], probe_norms, n
+        )
     lml = -0.5 * jnp.dot(y, alpha) - 0.5 * logdet - 0.5 * n * _LOG_2PI
     return IterativePosterior(
         kernel=kernel,
@@ -213,6 +235,14 @@ def predict_diag_iterative(
             L = krylov.pivoted_cholesky(post.kernel, post.x, precond_rank)
             pre = krylov.woodbury_inverse_apply(
                 L, jnp.square(post.noise) + jitter
+            )
+            sol, _ = krylov.pcg(mv, pre, Kxxo, num_iters=num_iters, tol=tol)
+        elif structure == "toeplitz":
+            from gaussian_processes_tpu.ops import toeplitz
+
+            pre = toeplitz.strang_circulant_precond(
+                toeplitz.toeplitz_column(post.kernel, post.x),
+                jnp.square(post.noise) + jitter,
             )
             sol, _ = krylov.pcg(mv, pre, Kxxo, num_iters=num_iters, tol=tol)
         else:
@@ -333,6 +363,23 @@ def log_marginal_value_and_grad_iterative(
         logdet = krylov.slq_logdet_preconditioned(
             mv, L, sigma2, probe_key, num_probes, num_iters, n
         )
+    elif structure == "toeplitz":
+        # circulant-preconditioned solves + SLQ (free preconditioner);
+        # Hutchinson probes stay Rademacher — the trace identity only
+        # needs E[z z^T] = I, independent of the preconditioner
+        from gaussian_processes_tpu.ops import toeplitz
+
+        probe_key, _ = jax.random.split(key)
+        col = toeplitz.toeplitz_column(kernel, x)
+        shift = jnp.square(noise) + jitter
+        pre = toeplitz.strang_circulant_precond(col, shift)
+        sol, _ = krylov.pcg(mv, pre, rhs, num_iters=num_iters, tol=tol,
+                            early_exit=early_exit)
+        alpha = sol[:, 0]
+        Kinv_z = sol[:, 1:]
+        logdet = toeplitz.slq_logdet_circulant(
+            mv, col, shift, probe_key, num_probes, num_iters
+        )
     else:
         res = krylov.mbcg(mv, rhs, num_iters=num_iters, tol=tol)
         alpha = res.solution[:, 0]
@@ -345,7 +392,24 @@ def log_marginal_value_and_grad_iterative(
 
     from gaussian_processes_tpu.ops import pairwise
 
-    if structure == "toeplitz":
+    if _is_ski(structure):
+        # differentiate the SKI surrogate itself: dK_ski/dtheta_p =
+        # W T_{J_p} W^T (the geometry W is theta-independent), each J_p
+        # column Toeplitz on the grid
+        from gaussian_processes_tpu.ops import ski as ski_ops
+        from gaussian_processes_tpu.ops import toeplitz
+
+        jcols = toeplitz.jacobian_columns(kernel, structure.grid)  # (P, m)
+        U = jnp.concatenate([alpha[:, None], probes], axis=1)  # (n, r+1)
+        WtU = ski_ops.interp_rmatvec(structure, U)  # (m, r+1)
+        JU = jax.vmap(
+            lambda c: ski_ops.interp_matvec(
+                structure, toeplitz.toeplitz_matvec(c, WtU)
+            )
+        )(jcols)  # (P, n, r+1)
+        J_alpha = JU[:, :, 0]
+        J_z = JU[:, :, 1:]
+    elif structure == "toeplitz":
         from gaussian_processes_tpu.ops import toeplitz
 
         jcols = toeplitz.jacobian_columns(kernel, x)  # (P, n)

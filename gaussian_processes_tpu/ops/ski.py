@@ -1,0 +1,183 @@
+"""Structured kernel interpolation (SKI / KISS-GP) for arbitrary 1-D inputs.
+
+The Toeplitz/FFT path (ops/toeplitz.py) needs the training inputs on a
+uniform grid.  SKI (Wilson & Nickisch 2015, "Kernel interpolation for
+scalable structured Gaussian processes") removes that restriction: place
+an m-point inducing grid g over the data range and approximate
+
+    K(x, x)  ~=  W K(g, g) W^T
+
+where W (n x m) holds local cubic-convolution interpolation weights —
+each row has exactly 4 nonzeros.  K(g, g) is symmetric Toeplitz for any
+stationary kernel, so a matvec with the approximate train covariance is
+
+    (W K_g W^T + s^2 I) v  =  gather/scatter (O(n))  +  FFT (O(m log m))
+
+— sub-quadratic for ANY input layout, the "exploit structure before
+brute force" trick extended off the grid.  TPU mapping: W^T v is one
+XLA scatter-add, W v one gather+weighted-sum (both bandwidth-bound,
+tiny next to the FFTs); the Toeplitz core rides jnp.fft exactly like
+ops/toeplitz.py.
+
+Derivatives come along as in the Toeplitz path: dK_g/dtheta_p of a
+stationary kernel is Toeplitz too, so the Hutchinson gradient's
+J_p-matvecs are W T_{J_p} W^T products (models/iterative_gp.py,
+``structure="ski"``).
+
+Accuracy model: cubic convolution interpolation has O(h^3) local error
+in the grid spacing h (exact on quadratics), so K_ski -> K rapidly as m
+grows; the operator W K_g W^T is PSD by construction (congruence), so
+A = K_ski + s^2 I is always SPD and CG is safe even when the
+interpolation error is visible.  Tests (tests/test_ski.py) gate the
+matvec against the densely assembled W K_g W^T exactly and the fit
+against the dense exact GP as the grid refines.
+
+The reference library has no analogue (SURVEY.md §1 — exact dense GP
+only); this extends its exact-1D-regression capability to N far past
+the dense wall on scattered inputs, complementing ``structure="toeplitz"``
+on gridded ones.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from gaussian_processes_tpu.models.base import Kernel
+from gaussian_processes_tpu.ops import toeplitz
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SKIOperator:
+    """Frozen interpolation geometry: grid + 4-tap weights per input.
+
+    ``grid``: (m,) uniform inducing grid; ``idx``: (n,) int32 base index
+    of each input's 4-tap stencil; ``w``: (n, 4) cubic-convolution
+    weights (rows sum to 1).  The kernel/noise are NOT stored — the same
+    geometry serves every hyperparameter value, so MLE/NUTS build it
+    once per dataset.
+    """
+
+    grid: jax.Array
+    idx: jax.Array
+    w: jax.Array
+
+    @property
+    def m(self) -> int:
+        return self.grid.shape[0]
+
+    @property
+    def n(self) -> int:
+        return self.idx.shape[0]
+
+
+def make_grid(x, num_points: int, dtype=None) -> jax.Array:
+    """Uniform inducing grid covering x with a 2-cell margin each side.
+
+    The margin keeps every input's 4-tap cubic stencil interior, so no
+    boundary special-casing exists anywhere downstream.
+    """
+    x = jnp.asarray(x)
+    if dtype is None:
+        dtype = x.dtype
+    if num_points < 8:
+        raise ValueError(f"SKI grid needs >= 8 points, got {num_points}")
+    lo = jnp.min(x)
+    hi = jnp.max(x)
+    span = jnp.maximum(hi - lo, jnp.asarray(1e-12, x.dtype))
+    # 2-cell margin on each side out of num_points total cells
+    dx = span / (num_points - 5)
+    return (lo - 2.0 * dx + dx * jnp.arange(num_points)).astype(dtype)
+
+
+def _cubic_weights(t: jax.Array) -> jax.Array:
+    """Keys cubic-convolution weights (a = -1/2) for fractional offset t.
+
+    ``t`` in [0, 1) is the position between stencil points 1 and 2 of the
+    4-tap stencil; returns (..., 4) weights for taps at distances
+    (1 + t, t, 1 - t, 2 - t).  Exact on quadratics; rows sum to 1.
+    """
+    t2 = t * t
+    t3 = t2 * t
+    w0 = -0.5 * t3 + t2 - 0.5 * t
+    w1 = 1.5 * t3 - 2.5 * t2 + 1.0
+    w2 = -1.5 * t3 + 2.0 * t2 + 0.5 * t
+    w3 = 0.5 * t3 - 0.5 * t2
+    return jnp.stack([w0, w1, w2, w3], axis=-1)
+
+
+def interpolation_weights(x, grid: jax.Array) -> SKIOperator:
+    """Build the (idx, w) sparse representation of W for inputs x.
+
+    Requires the grid from ``make_grid`` (uniform, 2-cell margins); every
+    x must lie within [grid[1], grid[m-3]] — guaranteed by construction.
+    """
+    x = jnp.asarray(x)
+    grid = jnp.asarray(grid)
+    m = grid.shape[0]
+    dx = grid[1] - grid[0]
+    pos = (x - grid[0]) / dx
+    base = jnp.floor(pos).astype(jnp.int32)
+    # clamp so idx..idx+3 always index the grid (margins make this a no-op
+    # except for float round-off at the extremes)
+    base = jnp.clip(base, 1, m - 3)
+    t = pos - base.astype(pos.dtype)
+    w = _cubic_weights(t).astype(x.dtype)
+    return SKIOperator(grid=grid, idx=base - 1, w=w)
+
+
+def interp_matvec(op: SKIOperator, vg: jax.Array) -> jax.Array:
+    """W @ vg: gather the 4 stencil values per row, weight, sum.
+
+    ``vg``: (m,) or (m, r) grid-space vector(s) -> (n,) / (n, r).
+    """
+    squeeze = vg.ndim == 1
+    v2 = vg[:, None] if squeeze else vg
+    rows = op.idx[:, None] + jnp.arange(4)[None, :]  # (n, 4)
+    gath = v2[rows]  # (n, 4, r)
+    out = jnp.einsum("nk,nkr->nr", op.w, gath)
+    return out[:, 0] if squeeze else out
+
+
+def interp_rmatvec(op: SKIOperator, vn: jax.Array) -> jax.Array:
+    """W^T @ vn: scatter-add each input's weighted value into its 4 taps.
+
+    ``vn``: (n,) or (n, r) -> (m,) / (m, r).
+    """
+    squeeze = vn.ndim == 1
+    v2 = vn[:, None] if squeeze else vn
+    r = v2.shape[1]
+    rows = (op.idx[:, None] + jnp.arange(4)[None, :]).reshape(-1)  # (4n,)
+    vals = (op.w[:, :, None] * v2[:, None, :]).reshape(-1, r)  # (4n, r)
+    out = jnp.zeros((op.m, r), v2.dtype).at[rows].add(vals)
+    return out[:, 0] if squeeze else out
+
+
+def ski_matvec(
+    op: SKIOperator, col: jax.Array, v: jax.Array, shift=0.0
+) -> jax.Array:
+    """(W T W^T + shift I) @ v with T = sym. Toeplitz from first col ``col``.
+
+    O(n) gather/scatter + O(m log m) FFT; ``v``: (n,) or (n, r).
+    """
+    core = toeplitz.toeplitz_matvec(col, interp_rmatvec(op, v))
+    out = interp_matvec(op, core)
+    return out + jnp.asarray(shift, out.dtype) * v
+
+
+def kernel_matvec_ski(
+    kernel: Kernel, op: SKIOperator, v: jax.Array, noise, jitter: float = 0.0
+) -> jax.Array:
+    """(K_ski(x, x) + (noise^2 + jitter) I) @ v — drop-in for kernel_matvec."""
+    col = toeplitz.toeplitz_column(kernel, op.grid)
+    shift = jnp.square(jnp.asarray(noise)) + jitter
+    return ski_matvec(op, col, v, shift)
+
+
+def ski_dense(kernel: Kernel, op: SKIOperator) -> jax.Array:
+    """Densely assembled W K_g W^T — test oracle only (O(n m + m^2))."""
+    Kg = kernel(op.grid, op.grid)
+    return interp_matvec(op, interp_matvec(op, Kg).T)

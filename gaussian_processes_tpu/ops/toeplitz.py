@@ -104,15 +104,14 @@ def kernel_matvec_toeplitz(
     return toeplitz_matvec(col, v, shift)
 
 
-def strang_circulant_precond(col: jax.Array, shift):
-    """v -> (C_s + shift I)^-1 v, C_s = Strang's nearest circulant to T.
+def circulant_eigenvalues(col: jax.Array, shift) -> jax.Array:
+    """Clamped rfft spectrum of P = C_s + shift I (Strang circulant).
 
     The wrap-around column keeps lags up to n/2 and reflects the rest;
     eigenvalues are the (real) DFT of that column.  Near-zero or negative
-    eigenvalues (possible for truncated tails) are floored so the
-    preconditioner stays SPD — CG only needs P ~ A, not P = A.
-    Build and apply are both O(n log n); use instead of the pivoted-
-    Cholesky preconditioner on grids.
+    eigenvalues (possible for truncated tails) are floored so P stays
+    SPD — this clamped spectrum IS the definition of P, shared by the
+    apply / sampler / logdet below so they describe one operator.
     """
     col = jnp.asarray(col)
     n = col.shape[0]
@@ -121,13 +120,80 @@ def strang_circulant_precond(col: jax.Array, shift):
     cs = col[wrap]
     lam = jnp.fft.rfft(cs).real + jnp.asarray(shift, col.dtype)
     floor = 1e-6 * jnp.max(jnp.abs(lam)) + jnp.asarray(shift, col.dtype) * 0.5
-    lam = jnp.maximum(lam, floor)
+    return jnp.maximum(lam, floor)
+
+
+def _circulant_apply(lam: jax.Array, n: int, power: float):
+    """v -> F^-1 diag(lam^power) F v — symmetric circulant application."""
+    lp = jnp.power(lam, power)
 
     def apply(v):
         squeeze = v.ndim == 1
         v2 = v[:, None] if squeeze else v
         fv = jnp.fft.rfft(v2, axis=0)
-        out = jnp.fft.irfft(fv / lam[:, None], n=n, axis=0).astype(v2.dtype)
+        out = jnp.fft.irfft(fv * lp[:, None], n=n, axis=0).astype(v2.dtype)
         return out[:, 0] if squeeze else out
 
     return apply
+
+
+def strang_circulant_precond(col: jax.Array, shift):
+    """v -> (C_s + shift I)^-1 v; O(n log n) build and apply.
+
+    Use instead of the pivoted-Cholesky preconditioner on grids — CG only
+    needs P ~ A, not P = A.
+    """
+    col = jnp.asarray(col)
+    lam = circulant_eigenvalues(col, shift)
+    return _circulant_apply(lam, col.shape[0], -1.0)
+
+
+def circulant_logdet(lam: jax.Array, n: int) -> jax.Array:
+    """Exact logdet of the circulant from its rfft spectrum.
+
+    Interior rfft bins carry multiplicity 2 (conjugate pairs); DC and
+    (for even n) Nyquist carry 1.
+    """
+    m = lam.shape[0]
+    w = jnp.full((m,), 2.0, lam.dtype)
+    w = w.at[0].set(1.0)
+    if n % 2 == 0:
+        w = w.at[m - 1].set(1.0)
+    return jnp.sum(w * jnp.log(lam))
+
+
+def slq_logdet_circulant(
+    matvec, col: jax.Array, shift, key, num_probes: int, num_iters: int
+):
+    """SLQ estimate of logdet(A) with Strang-circulant preconditioning.
+
+    Same identity as ops/krylov.py::slq_logdet_preconditioned (GPyTorch's
+    preconditioned SLQ) with P = C_s + shift I:
+
+        logdet(A) = logdet(P) + E_{z ~ N(0,P)}[(z^T P^-1 z) e1^T log(T) e1]
+
+    logdet(P) is exact from the spectrum; z = P^(1/2) u is one FFT pair
+    (P^(1/2) is the symmetric circulant with eigenvalues sqrt(lam)); T is
+    the PCG Lanczos tridiagonal.  Everything is O(n log n) per probe
+    iteration — the grid analogue of the pivoted-Cholesky SLQ at
+    hard-conditioning large N.
+    """
+    from gaussian_processes_tpu.ops import krylov
+
+    col = jnp.asarray(col)
+    n = col.shape[0]
+    lam = circulant_eigenvalues(col, shift)
+    pre = _circulant_apply(lam, n, -1.0)
+    half = _circulant_apply(lam, n, 0.5)
+    u = jax.random.normal(key, (n, num_probes), col.dtype)
+    probes = half(u)
+    _, _, alphas, betas = krylov.pcg(
+        matvec, pre, probes, num_iters=num_iters, tol=1e-12,
+        return_tridiag=True,
+    )
+    probe_norms = jnp.sum(probes * pre(probes), axis=0)
+    T = krylov.lanczos_tridiag_from_cg(alphas, betas)
+    evals, evecs = jnp.linalg.eigh(T)
+    w = jnp.square(evecs[:, 0, :])
+    quad = jnp.sum(w * jnp.log(jnp.maximum(evals, 1e-30)), axis=-1)
+    return circulant_logdet(lam, n) + jnp.mean(probe_norms * quad)
