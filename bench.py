@@ -261,6 +261,85 @@ def bench_toeplitz():
                "residual": float(res), "vs_baseline": None})
 
 
+def bench_whittle():
+    """Whittle (circulant-model) posterior value+grad latency at N=2^20.
+
+    The per-leapfrog cost of fully Bayesian hyperparameters on 1M-point
+    grids (benchmarks/demo_bayes1m.py): three FFT/elementwise ops,
+    deterministic, plain autodiff.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gaussian_processes_tpu import GaussianKernel
+    from gaussian_processes_tpu.inference import make_log_posterior_whittle
+
+    n = int(os.environ.get("BENCH_WHITTLE_N", 1 << 20))
+    rng = np.random.default_rng()
+    x = (np.arange(n) * (2 * np.pi / n) - np.pi).astype(DTYPE)
+    y = (np.sin(50 * x) + 0.1 * rng.standard_normal(n)).astype(DTYPE)
+    k = GaussianKernel(h=jnp.asarray(1.0, DTYPE), w=jnp.asarray(0.006, DTYPE))
+    lp = make_log_posterior_whittle(k, x, y, prior_std=1.0, jitter=1e-6)
+    vg = jax.jit(jax.value_and_grad(lp))
+    u0 = jnp.log(jnp.asarray([1.0, 0.006, 0.1], DTYPE))
+    floor = _dispatch_floor(jax, jnp)
+    inputs = [u0 + np.asarray(rng.random() * 1e-4, DTYPE) for _ in range(4)]
+    med, out = _probe_walls(jax, vg, inputs)
+    v, g = out
+    assert bool(jnp.all(jnp.isfinite(g))), "non-finite whittle grad"
+    _emit({"metric": f"whittle_logpost_vg_n{n}_{DTYPE}_wall",
+           "value": round(max(med - floor, 0.0), 5), "unit": "s",
+           "vs_baseline": None})
+
+
+def bench_ski():
+    """SKI/KISS-GP fit on SCATTERED inputs (no grid) at config-#4 N and 4x.
+
+    Same workload class as the iterative section (scattered sine data)
+    but the matvecs run through an inducing grid: O(n) gather/scatter +
+    O(m log m) FFT instead of the O(n^2) strip — the structured path off
+    the grid.  Preconditioner: pivoted Cholesky on the exact kernel
+    (K_ski ~ K, so it preconditions the surrogate equally well).
+    """
+    import uuid
+
+    import jax
+    import jax.numpy as jnp
+
+    from gaussian_processes_tpu import GaussianKernel, fit_iterative
+    from gaussian_processes_tpu.ops import ski
+
+    rng = np.random.default_rng()
+    nonce = float(int(uuid.uuid4()) % 1000003) * 1e-30
+
+    for n, m, iters, rank in ((65536, 16384, 150, 2048),
+                              (262144, 32768, 150, 2048)):
+        w = max(100.0 * 2 * np.pi / n, 1e-4)
+        kern = GaussianKernel(h=jnp.asarray(1.0, DTYPE), w=jnp.asarray(w, DTYPE))
+        x, y = _sine_problem(n, seed=3)
+        op = ski.interpolation_weights(
+            jnp.asarray(x), ski.make_grid(jnp.asarray(x), m)
+        )
+
+        @jax.jit
+        def f(x_, y_, kern=kern, op=op, iters=iters, rank=rank):
+            p = fit_iterative(kern, x_, y_, 0.1, jax.random.key(0),
+                              num_probes=8, num_iters=iters, tol=1e-6,
+                              jitter=1e-4, precond_rank=rank, structure=op)
+            return p.log_marginal + nonce, p.solve_residual
+
+        inputs = [
+            (jnp.asarray(x), jnp.asarray(y * np.float32(1 + rng.random() * 1e-3)))
+            for _ in range(3)
+        ]
+        med, out = _probe_walls(jax, lambda a, b: f(a, b), inputs)
+        lml, res = out
+        assert bool(jnp.isfinite(lml)), "non-finite lml"
+        _emit({"metric": f"ski_gp_fit_n{n}_scattered_m{m}_{DTYPE}_wall",
+               "value": round(med, 4), "unit": "s",
+               "residual": float(res), "vs_baseline": None})
+
+
 def _sampler_problem(n=500, n_chains=64):
     import jax
     import jax.numpy as jnp
@@ -345,6 +424,8 @@ _SECTIONS = {
     "chol": bench_chol,
     "iterative": bench_iterative,
     "toeplitz": bench_toeplitz,
+    "ski": bench_ski,
+    "whittle": bench_whittle,
     "chees": bench_chees,
     "nuts": bench_nuts,
 }

@@ -1,13 +1,16 @@
-"""Fully Bayesian hyperparameter sampling at N=2^20 on ONE chip (grid data).
+"""Fully Bayesian hyperparameters at N=2^20 on ONE chip (grid data).
 
-The Toeplitz capstone: ChEES-HMC over (h, w, s) where every leapfrog
-step's solves, SLQ logdet, and Hutchinson gradient run as O(n log n) FFT
-products on the uniform-grid structure
-(inference/gp_model.py::make_log_posterior_iterative with
-``structure="toeplitz"``).  Dense inference at this N would need a
-4.4 TB kernel matrix; the strip matrix-free path would pay a
-rank-O(1e4) preconditioner build per evaluation.  Env knobs:
-D1M_N, D1M_CHAINS, D1M_WARMUP, D1M_SAMPLES, D1M_ITERS.
+The Toeplitz capstone, round-2 final form: ChEES-HMC over (h, w, s) on
+the WHITTLE log posterior (inference/gp_model.py::
+make_log_posterior_whittle) — the exact log-density of the circulant
+surrogate model, three FFT/elementwise ops per leapfrog step, fully
+deterministic.  Dense inference at this N would need a 4.4 TB kernel
+matrix; the stochastic PCG+SLQ surrogate was measured to acquire an f32
+systematic bias at this scale that mis-ranks long lengthscales
+(STATUS.md round-2 session 3), while the Whittle density is exact for
+its (asymptotically equivalent) model and ~1000x cheaper per step.
+
+Env knobs: D1M_N, D1M_CHAINS, D1M_WARMUP, D1M_SAMPLES.
 """
 
 import json
@@ -25,58 +28,71 @@ def main():
     from gaussian_processes_tpu import GaussianKernel
     from gaussian_processes_tpu.inference import (
         init_positions,
-        make_log_posterior_iterative,
+        make_log_posterior_whittle,
     )
     from gaussian_processes_tpu.inference.chees import sample_chees
 
     n = int(os.environ.get("D1M_N", 1 << 20))
-    n_chains = int(os.environ.get("D1M_CHAINS", 2))
-    num_warmup = int(os.environ.get("D1M_WARMUP", 8))
-    num_samples = int(os.environ.get("D1M_SAMPLES", 8))
-    num_iters = int(os.environ.get("D1M_ITERS", 80))
+    n_chains = int(os.environ.get("D1M_CHAINS", 16))
+    num_warmup = int(os.environ.get("D1M_WARMUP", 300))
+    num_samples = int(os.environ.get("D1M_SAMPLES", 500))
 
     rng = np.random.default_rng(0)
-    x = np.linspace(-np.pi, np.pi, n).astype(np.float32)
-    w_true = max(100.0 * 2 * np.pi / n, 1e-4)
+    # endpoint-EXCLUSIVE grid: the circulant model's circle closes at
+    # exactly 2 pi, and sin(50 x) has 50 exact cycles on it — boundary-
+    # compatible data (whittle_log_marginal docstring)
+    x = (np.arange(n) * (2 * np.pi / n) - np.pi).astype(np.float32)
     y = (np.sin(50 * x) + 0.1 * rng.standard_normal(n)).astype(np.float32)
 
-    k0 = GaussianKernel(h=jnp.asarray(1.0, jnp.float32),
-                        w=jnp.asarray(w_true, jnp.float32))
-    log_post = make_log_posterior_iterative(
+    # init/prior at the data's generative scale: a unit sine has RMS
+    # ~0.71 and wiggle scale ~ 1/50; a first 2310 s run started at
+    # w=6e-4 (an arbitrary 100*dx) and measured the posterior mode at
+    # w ~ 0.0365 with R-hat 4.2 — chains had to climb 4 prior sd
+    h0, w0, s0 = 0.7, 0.04, 0.1
+    k0 = GaussianKernel(h=jnp.asarray(h0, jnp.float32),
+                        w=jnp.asarray(w0, jnp.float32))
+    u0 = np.log(np.array([h0, w0, s0], dtype=np.float32))
+    log_post = make_log_posterior_whittle(
         k0, x, y,
-        prior_std=0.5,       # informative: the demo explores near the MLE
-        jitter=1e-4,
-        num_probes=4,
-        num_iters=num_iters,
-        tol=1e-5,
-        structure="toeplitz",
+        prior_mean=jnp.asarray(u0),  # weakly informative around the init
+        prior_std=1.0,
+        jitter=1e-6,
     )
 
     k1, k2 = jax.random.split(jax.random.key(0))
-    init = init_positions(k0, 0.1, k1, n_chains=n_chains, spread=0.05,
+    init = init_positions(k0, s0, k1, n_chains=n_chains, spread=0.1,
                           dtype=jnp.float32)
 
     t0 = time.perf_counter()
+    # chunk small: one chunk of draws x leapfrogs x 2^20-point FFTs must
+    # stay well under the tunnel watchdog's single-execution budget
+    # (chunk_size=50 with max_leapfrog=64 crashed the TPU worker)
     res = sample_chees(
         log_post, init, k2,
         num_warmup=num_warmup, num_samples=num_samples,
-        init_step_size=0.02, init_traj_length=0.06,
-        max_leapfrog=4, chunk_size=2,
+        init_step_size=0.02, init_traj_length=0.1,
+        max_leapfrog=32, chunk_size=10,
     )
     jax.block_until_ready(res.positions)
     wall = time.perf_counter() - t0
 
     draws = np.exp(np.asarray(res.positions)).reshape(-1, 3)
     total_draws = num_samples * n_chains
+    from gaussian_processes_tpu.inference.diagnostics import summarize
+    diag = summarize(np.asarray(res.positions))
     out = {
-        "metric": f"bayes1m_chees_toeplitz_n{n}_c{n_chains}",
-        "value": round(wall / max(num_samples, 1), 2),
-        "unit": "s/draw (all chains, warmup+compile amortized)",
+        "metric": f"bayes1m_chees_whittle_n{n}_c{n_chains}",
+        "value": round(total_draws / wall, 1),
+        "unit": "samples/s (incl. warmup+compile)",
         "wall_s": round(wall, 1),
         "draws": total_draws,
         "accept_mean": float(np.asarray(res.accept_prob).mean()),
         "diverging_frac": float(np.asarray(res.diverging).mean()),
         "posterior_mean_hws": draws.mean(0).round(5).tolist(),
+        "posterior_sd_hws": draws.std(0).round(6).tolist(),
+        "true_hws": [None, None, 0.1],  # only the noise is a true model param
+        "max_rhat": diag["max_rhat"],
+        "min_ess": diag["min_ess"],
         "finite": bool(np.all(np.isfinite(draws))),
     }
     print(json.dumps(out), flush=True)

@@ -96,11 +96,30 @@ def run_config(cfg) -> dict:
             "converged": bool(res.converged),
         }
 
-    elif cfg.task in ("nuts", "chees", "nuts_multihost"):
+    elif cfg.task in ("nuts", "chees", "nuts_multihost", "bayes_grid"):
         ncfg = cfg.nuts
-        log_post = make_log_posterior(
-            kernel, x, y, prior_std=ncfg.prior_std, jitter=cfg.fit.jitter
-        )
+        if cfg.task == "bayes_grid":
+            # Whittle (circulant-model) likelihood on a uniform grid —
+            # deterministic FFT leapfrogs, N ~ 10^6 viable; sampled with
+            # ChEES below (the throughput sampler)
+            from gaussian_processes_tpu.inference import (
+                make_log_posterior_whittle,
+            )
+            from gaussian_processes_tpu.ops.toeplitz import is_uniform_grid
+
+            assert is_uniform_grid(x), "bayes_grid needs layout='grid'"
+            import numpy as _np
+
+            u0 = _np.log(_np.concatenate(
+                [_np.asarray(kernel.params), [cfg.fit.noise]]))
+            log_post = make_log_posterior_whittle(
+                kernel, x, y, prior_mean=jnp.asarray(u0, dtype),
+                prior_std=ncfg.prior_std, jitter=cfg.fit.jitter,
+            )
+        else:
+            log_post = make_log_posterior(
+                kernel, x, y, prior_std=ncfg.prior_std, jitter=cfg.fit.jitter
+            )
         key = jax.random.key(ncfg.seed)
         k1, k2 = jax.random.split(key)
         init = init_positions(
@@ -122,7 +141,7 @@ def run_config(cfg) -> dict:
                     # checkpointable between chunks (VERDICT r1 item 3)
                     chunk_size=ncfg.chunk_size,
                 )
-            elif cfg.task == "chees":
+            elif cfg.task in ("chees", "bayes_grid"):
                 from gaussian_processes_tpu.inference.chees import sample_chees
 
                 res = sample_chees(
@@ -130,6 +149,8 @@ def run_config(cfg) -> dict:
                     num_warmup=ncfg.num_warmup, num_samples=ncfg.num_samples,
                     init_step_size=ncfg.init_step_size,
                     chunk_size=ncfg.chunk_size,
+                    **({"init_traj_length": 0.1, "max_leapfrog": 32}
+                       if cfg.task == "bayes_grid" else {}),
                 )
             else:
                 res = sample_nuts(

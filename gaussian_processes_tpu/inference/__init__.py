@@ -27,6 +27,7 @@ from gaussian_processes_tpu.inference.gp_model import (
     make_log_likelihood,
     make_log_posterior,
     make_log_posterior_iterative,
+    make_log_posterior_whittle,
     n_hypers,
     pack,
     unpack,
@@ -54,6 +55,7 @@ __all__ = [
     "make_log_likelihood",
     "make_log_posterior",
     "make_log_posterior_iterative",
+    "make_log_posterior_whittle",
     "n_hypers",
     "pack",
     "unpack",

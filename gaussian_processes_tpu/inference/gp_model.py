@@ -102,8 +102,12 @@ def make_log_posterior_iterative(
 
     ``structure="toeplitz"`` (uniform-grid x): every leapfrog step's
     solves and Jacobian contractions run as O(n log n) FFT products
-    (ops/toeplitz.py) — fully Bayesian hyperparameter sampling at
-    N ~ 10^6 on one chip.
+    (ops/toeplitz.py).  CAUTION at extreme scale in f32: the SLQ logdet
+    was measured to acquire a systematic bias at N=2^20 (iteration-
+    independent, inflates lml at long lengthscales — STATUS.md round-2
+    session 3); for grid data at N >~ 10^5 prefer
+    ``make_log_posterior_whittle`` (exact circulant-model density,
+    deterministic, ~1000x cheaper per step).
 
     The round-2 bridge (VERDICT r1 item 2) between the matrix-free stack
     (models/iterative_gp.py: PCG solves + SLQ logdet, O(n·block) memory,
@@ -166,6 +170,41 @@ def make_log_posterior_iterative(
         return (ct * g_u,)
 
     log_post.defvjp(fwd, bwd)
+    return log_post
+
+
+def make_log_posterior_whittle(
+    kernel_template: Kernel,
+    x,
+    y,
+    *,
+    prior_mean=0.0,
+    prior_std=2.0,
+    jitter: float = 0.0,
+) -> Callable:
+    """Log posterior over u = log(theta) with the WHITTLE likelihood.
+
+    For uniform-grid data (assert with ``ops.toeplitz.is_uniform_grid``):
+    the exact log-density of the circulant surrogate model — three FFT/
+    elementwise ops per evaluation, deterministic, differentiated by
+    plain autodiff.  The right objective for fully Bayesian
+    hyperparameters at N ~ 10^5-10^6 on grids, where the stochastic SLQ
+    surrogate was measured to acquire an f32 systematic bias
+    (ops/toeplitz.py::whittle_log_marginal).  Asymptotically exact;
+    gated against the dense posterior in tests/test_toeplitz.py.
+    """
+    from gaussian_processes_tpu.ops.toeplitz import whittle_log_marginal
+
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    mu = jnp.asarray(prior_mean)
+    sd = jnp.asarray(prior_std)
+
+    def log_post(u):
+        kernel, noise = unpack(kernel_template, u)
+        lml = whittle_log_marginal(kernel, x, y, noise, jitter)
+        return lml - 0.5 * jnp.sum(jnp.square((u - mu) / sd))
+
     return log_post
 
 

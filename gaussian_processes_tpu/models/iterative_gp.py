@@ -54,7 +54,44 @@ def _is_ski(structure) -> bool:
     return isinstance(structure, ski_ops.SKIOperator)
 
 
+def _is_kron(structure) -> bool:
+    from gaussian_processes_tpu.ops import kronecker
+
+    return isinstance(structure, kronecker.KronOperator)
+
+
+def _is_ski_kron(structure) -> bool:
+    from gaussian_processes_tpu.ops import ski as ski_ops
+
+    return isinstance(structure, ski_ops.SKIKronOperator)
+
+
 def _matvec(kernel, x, noise, jitter, block_size, structure="none"):
+    if _is_ski_kron(structure):
+        # scattered (n, D) inputs through a Kronecker inducing grid
+        # (D-dim KISS-GP): W ((x)_d T_d) W^T + s^2 I per matvec
+        from gaussian_processes_tpu.ops import kronecker
+        from gaussian_processes_tpu.ops import ski as ski_ops
+
+        cols = kronecker.kron_columns(kernel, structure.kron)
+        shift = jnp.square(jnp.asarray(noise)) + jitter
+
+        def mv(v):
+            return ski_ops.ski_kron_matvec(structure, cols, v, shift)
+
+        return mv
+    if _is_kron(structure):
+        # D-dim Cartesian grid, separable kernel: K = (x)_d T_d — D
+        # batched FFT sweeps per matvec (ops/kronecker.py)
+        from gaussian_processes_tpu.ops import kronecker
+
+        cols = kronecker.kron_columns(kernel, structure)
+        shift = jnp.square(jnp.asarray(noise)) + jitter
+
+        def mv(v):
+            return kronecker.kron_matvec(cols, v, shift)
+
+        return mv
     if _is_ski(structure):
         # scattered inputs through an inducing grid (SKI / KISS-GP):
         # (W T W^T + s^2 I) v = O(n) gather/scatter + O(m log m) FFT
@@ -125,6 +162,12 @@ def fit_iterative(
     SKI/KISS-GP for *scattered* inputs — matvecs are O(n + m log m)
     products through the inducing grid; the target is the SKI surrogate
     K_ski = W K_g W^T (converges to K as the grid refines).
+
+    ``structure=ops.kronecker.KronOperator`` (D-dim Cartesian grid,
+    separable kernel e.g. ARDGaussianKernel): K = (x)_d T_d, matvecs are
+    D batched FFT sweeps, with the Kronecker-circulant preconditioner and
+    exact-logdet(P) SLQ — exact GP inference (not a surrogate) at
+    N = prod(n_d) ~ 1e6 on one chip.
     """
     x = jnp.asarray(x)
     y = jnp.asarray(y)
@@ -167,6 +210,23 @@ def fit_iterative(
         logdet = toeplitz.slq_logdet_circulant(
             mv, col, shift, probe_key, num_probes, num_iters
         )
+    elif _is_kron(structure):
+        # D-dim grid analogue of the branch above: Kronecker-Strang
+        # circulant preconditioner (free) + exact-logdet(P) SLQ
+        from gaussian_processes_tpu.ops import kronecker
+
+        probe_key, _ = jax.random.split(key)
+        cols = kronecker.kron_columns(kernel, structure)
+        shift = jnp.square(noise) + jitter
+        pre = kronecker.kron_circulant_precond(cols, shift)
+        sol, rn = krylov.pcg(
+            mv, pre, y[:, None], num_iters=num_iters, tol=tol
+        )
+        alpha = sol[:, 0]
+        solve_residual = rn[0]
+        logdet = kronecker.slq_logdet_kron_circulant(
+            mv, cols, shift, probe_key, num_probes, num_iters
+        )
     else:
         probes = jax.random.rademacher(key, (n, num_probes), dtype=dtype)
         rhs = jnp.concatenate([y[:, None], probes], axis=1)
@@ -191,9 +251,38 @@ def fit_iterative(
     )
 
 
-def predict_mean_iterative(post: IterativePosterior, xo, block_size: int = 1024):
-    """Predictive mean by strip matvecs: K(xo, x) @ alpha, O(m*b) memory."""
+def predict_mean_iterative(
+    post: IterativePosterior, xo, block_size: int = 1024, structure="none"
+):
+    """Predictive mean: K(xo, x) @ alpha.
+
+    Default: strip matvecs, O(n*m) flops / O(m*b) memory.  With a SKI
+    ``structure`` (1-D or D-dim operator): the KISS-GP fast prediction —
+    K(xo, x) ~= W_o K_g W^T, so the mean is one grid projection
+    T_g (W^T alpha) (computed once per call) interpolated to the test
+    points: O(n + m + g log g) total, constant per test point.
+    """
     xo = jnp.asarray(xo)
+    if _is_ski(structure):
+        from gaussian_processes_tpu.ops import ski as ski_ops
+        from gaussian_processes_tpu.ops import toeplitz
+
+        col = toeplitz.toeplitz_column(post.kernel, structure.grid)
+        grid_mean = toeplitz.toeplitz_matvec(
+            col, ski_ops.interp_rmatvec(structure, post.alpha)
+        )
+        op_o = ski_ops.interpolation_weights(xo, structure.grid)
+        return ski_ops.interp_matvec(op_o, grid_mean)
+    if _is_ski_kron(structure):
+        from gaussian_processes_tpu.ops import kronecker
+        from gaussian_processes_tpu.ops import ski as ski_ops
+
+        cols = kronecker.kron_columns(post.kernel, structure.kron)
+        grid_mean = kronecker.kron_matvec(
+            cols, ski_ops.interp_rmatvec_nd(structure, post.alpha)
+        )
+        op_o = ski_ops.interpolation_weights_nd(xo, structure.kron.axes)
+        return ski_ops.interp_matvec_nd(op_o, grid_mean)
     m = xo.shape[0]
     b = min(block_size, m)
     nb = -(-m // b)
@@ -242,6 +331,14 @@ def predict_diag_iterative(
 
             pre = toeplitz.strang_circulant_precond(
                 toeplitz.toeplitz_column(post.kernel, post.x),
+                jnp.square(post.noise) + jitter,
+            )
+            sol, _ = krylov.pcg(mv, pre, Kxxo, num_iters=num_iters, tol=tol)
+        elif _is_kron(structure):
+            from gaussian_processes_tpu.ops import kronecker
+
+            pre = kronecker.kron_circulant_precond(
+                kronecker.kron_columns(post.kernel, structure),
                 jnp.square(post.noise) + jitter,
             )
             sol, _ = krylov.pcg(mv, pre, Kxxo, num_iters=num_iters, tol=tol)
@@ -380,6 +477,20 @@ def log_marginal_value_and_grad_iterative(
         logdet = toeplitz.slq_logdet_circulant(
             mv, col, shift, probe_key, num_probes, num_iters
         )
+    elif _is_kron(structure):
+        from gaussian_processes_tpu.ops import kronecker
+
+        probe_key, _ = jax.random.split(key)
+        cols = kronecker.kron_columns(kernel, structure)
+        shift = jnp.square(noise) + jitter
+        pre = kronecker.kron_circulant_precond(cols, shift)
+        sol, _ = krylov.pcg(mv, pre, rhs, num_iters=num_iters, tol=tol,
+                            early_exit=early_exit)
+        alpha = sol[:, 0]
+        Kinv_z = sol[:, 1:]
+        logdet = kronecker.slq_logdet_kron_circulant(
+            mv, cols, shift, probe_key, num_probes, num_iters
+        )
     else:
         res = krylov.mbcg(mv, rhs, num_iters=num_iters, tol=tol)
         alpha = res.solution[:, 0]
@@ -392,7 +503,22 @@ def log_marginal_value_and_grad_iterative(
 
     from gaussian_processes_tpu.ops import pairwise
 
-    if _is_ski(structure):
+    if _is_ski_kron(structure):
+        # D-dim SKI: dK_ski/dtheta_p = W ((x)_d T_{J_p,d}) W^T — the
+        # sandwich with the Kronecker Jacobian factors
+        from gaussian_processes_tpu.ops import kronecker
+        from gaussian_processes_tpu.ops import ski as ski_ops
+
+        jcols = kronecker.kron_jacobian_columns(kernel, structure.kron)
+        U = jnp.concatenate([alpha[:, None], probes], axis=1)  # (n, r+1)
+        WtU = ski_ops.interp_rmatvec_nd(structure, U)  # (m, r+1)
+        JU = jnp.stack([
+            ski_ops.interp_matvec_nd(structure, kronecker.kron_matvec(c, WtU))
+            for c in jcols
+        ])  # (P, n, r+1)
+        J_alpha = JU[:, :, 0]
+        J_z = JU[:, :, 1:]
+    elif _is_ski(structure):
         # differentiate the SKI surrogate itself: dK_ski/dtheta_p =
         # W T_{J_p} W^T (the geometry W is theta-independent), each J_p
         # column Toeplitz on the grid
@@ -407,6 +533,16 @@ def log_marginal_value_and_grad_iterative(
                 structure, toeplitz.toeplitz_matvec(c, WtU)
             )
         )(jcols)  # (P, n, r+1)
+        J_alpha = JU[:, :, 0]
+        J_z = JU[:, :, 1:]
+    elif _is_kron(structure):
+        # each dK/dtheta_p is Kronecker too (one factor swapped for its
+        # derivative) — P sets of D FFT sweeps
+        from gaussian_processes_tpu.ops import kronecker
+
+        jcols = kronecker.kron_jacobian_columns(kernel, structure)
+        U = jnp.concatenate([alpha[:, None], probes], axis=1)  # (n, r+1)
+        JU = jnp.stack([kronecker.kron_matvec(c, U) for c in jcols])
         J_alpha = JU[:, :, 0]
         J_z = JU[:, :, 1:]
     elif structure == "toeplitz":

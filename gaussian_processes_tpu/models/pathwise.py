@@ -341,22 +341,17 @@ def sample_posterior_pathwise_iterative(
     at N = 65k+ on one chip (the dense sampler needs a dense factor).
     Memory: O(n * max(n_samples, block_size, precond_rank)).
     ``structure="toeplitz"`` (uniform-grid training x) runs the Matheron
-    solve with O(n log n) FFT matvecs.
+    solve with O(n log n) FFT matvecs; ``structure=ops.ski.SKIOperator``
+    (scattered x) with O(n + m log m) SKI products.
     """
+    from gaussian_processes_tpu.models.iterative_gp import _matvec
+
     xo = jnp.asarray(xo)
     kernel, x, y, noise = post.kernel, post.x, post.y, post.noise
     feats, u, resid = _pathwise_terms(
         kernel, x, y, noise, key, n_samples, num_features
     )
-    if structure == "toeplitz":
-        from gaussian_processes_tpu.ops import toeplitz
-
-        col = toeplitz.toeplitz_column(kernel, x)
-        shift = jnp.square(noise) + jitter
-        matvec = lambda V: toeplitz.toeplitz_matvec(col, V, shift)  # noqa: E731
-    else:
-        mv = krylov.kernel_matvec
-        matvec = lambda V: mv(kernel, x, V, noise, jitter, block_size=block_size)  # noqa: E731
+    matvec = _matvec(kernel, x, noise, jitter, block_size, structure)
     if precond_rank > 0:
         L = krylov.pivoted_cholesky(kernel, x, precond_rank)
         pre = krylov.woodbury_inverse_apply(

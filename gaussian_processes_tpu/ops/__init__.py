@@ -13,10 +13,12 @@ from gaussian_processes_tpu.ops.pairwise import (
     tile_program,
 )
 from gaussian_processes_tpu.ops import host
+from gaussian_processes_tpu.ops import kronecker
 from gaussian_processes_tpu.ops import ski
 from gaussian_processes_tpu.ops import toeplitz
 
 __all__ = [
+    "kronecker",
     "ski",
     "toeplitz",
     "pairwise_hessian",

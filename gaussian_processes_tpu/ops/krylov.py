@@ -215,12 +215,19 @@ def pivoted_cholesky(
 
     d0 = kernel.kdiag(x).astype(dtype)  # (n,)
     L0 = jnp.zeros((n, rank), dtype)
-    # over-rank guard: once the residual diagonal falls below f32
-    # round-off of the leading diagonal, further "columns" are noise
-    # divided by a clamped pivot — they pollute the Woodbury apply
-    # instead of helping.  Freeze to zero columns past that point (the
-    # shape stays static; the factor just stops growing).
-    floor = jnp.max(d0) * jnp.asarray(10 * jnp.finfo(dtype).eps, dtype)
+    # over-rank guard: once the residual diagonal falls below the
+    # accumulated round-off of the updates (~rank * eps * max diag),
+    # further "columns" are noise divided by a clamped pivot — they
+    # pollute the Woodbury apply instead of helping.  Freeze to zero
+    # columns past that point (the shape stays static; the factor just
+    # stops growing).  The 1e3 factor is calibrated to f32 at n ~ 1e5:
+    # a 10*eps floor let TPU f32 runs admit ~100 junk columns that CPU
+    # f32 froze (measured: identical 65k ND-SKI solve, 300 vs 202
+    # columns, preconditioned CG 0.65 vs 6e-4), because the guard sat
+    # inside cross-backend round-off scatter.  Directions with residual
+    # eigenvalue below ~1e-4 * max(d0) belong to the sigma^2 term of
+    # the Woodbury preconditioner anyway.
+    floor = jnp.max(d0) * jnp.asarray(1e3 * jnp.finfo(dtype).eps, dtype)
 
     def body(j, carry):
         L, d = carry

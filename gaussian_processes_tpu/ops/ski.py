@@ -32,6 +32,14 @@ interpolation error is visible.  Tests (tests/test_ski.py) gate the
 matvec against the densely assembled W K_g W^T exactly and the fit
 against the dense exact GP as the grid refines.
 
+f32 scale limitation (measured on chip + CPU, round 2): at n ~ 6e4+
+with a smooth right-hand side, preconditioned f32 CG through the SKI
+operator stalls at ~1e-2..1e-1 relative residual (the f32 CG noise
+floor eps * ||A|| * ||x|| / ||b|| — the same instance solves to 2e-2 on
+CPU f32 and 4e-11 in f64).  For solves tighter than prediction-level
+accuracy at that scale, run the solve in f64 (CPU) or shrink per-solve
+n (data sharding).  At n <= ~2e4 f32 converges fully (drive-verified).
+
 The reference library has no analogue (SURVEY.md §1 — exact dense GP
 only); this extends its exact-1D-regression capability to N far past
 the dense wall on scattered inputs, complementing ``structure="toeplitz"``
@@ -138,7 +146,8 @@ def interp_matvec(op: SKIOperator, vg: jax.Array) -> jax.Array:
     v2 = vg[:, None] if squeeze else vg
     rows = op.idx[:, None] + jnp.arange(4)[None, :]  # (n, 4)
     gath = v2[rows]  # (n, 4, r)
-    out = jnp.einsum("nk,nkr->nr", op.w, gath)
+    out = jnp.einsum("nk,nkr->nr", op.w, gath,
+                     precision=jax.lax.Precision.HIGHEST)
     return out[:, 0] if squeeze else out
 
 
@@ -181,3 +190,115 @@ def ski_dense(kernel: Kernel, op: SKIOperator) -> jax.Array:
     """Densely assembled W K_g W^T — test oracle only (O(n m + m^2))."""
     Kg = kernel(op.grid, op.grid)
     return interp_matvec(op, interp_matvec(op, Kg).T)
+
+
+# --- D-dimensional SKI: scattered (n, D) inputs on a Kronecker grid ---------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SKIKronOperator:
+    """SKI geometry over a D-dim Cartesian inducing grid (full KISS-GP).
+
+    Each input row interpolates from a 4^D-tap tensor-product cubic
+    stencil: ``kron`` holds the per-dimension grids (ops/kronecker.py
+    layout, row-major), ``idx`` (n, D) the per-dim base indices, ``w``
+    (n, 4, D) the per-dim 4-tap weights; the combined weight of tap
+    (j_1..j_D) is prod_d w[:, j_d, d].  Matvec cost: O(4^D n) gather/
+    scatter + O(m log m) FFT sweeps, m = prod(m_d).
+    """
+
+    kron: "object"  # kronecker.KronOperator (import cycle avoided)
+    idx: jax.Array  # (n, D) int32
+    w: jax.Array  # (n, 4, D)
+
+    @property
+    def n(self) -> int:
+        return self.idx.shape[0]
+
+    @property
+    def ndim(self) -> int:
+        return self.idx.shape[1]
+
+
+def interpolation_weights_nd(x, axes) -> SKIKronOperator:
+    """Build D-dim SKI geometry for scattered (n, D) inputs.
+
+    ``axes``: per-dimension uniform grids from ``make_grid`` (each with
+    its 2-cell margin, so every stencil is interior).
+    """
+    from gaussian_processes_tpu.ops import kronecker
+
+    x = jnp.atleast_2d(jnp.asarray(x))
+    ops1d = [interpolation_weights(x[:, d], jnp.asarray(g))
+             for d, g in enumerate(axes)]
+    idx = jnp.stack([o.idx for o in ops1d], axis=-1)  # (n, D)
+    w = jnp.stack([o.w for o in ops1d], axis=-1)  # (n, 4, D)
+    kron = kronecker.KronOperator(axes=tuple(jnp.asarray(g) for g in axes))
+    return SKIKronOperator(kron=kron, idx=idx, w=w)
+
+
+def _nd_taps(op: SKIKronOperator):
+    """Flat grid index (n, 4^D) and combined weight (n, 4^D) per tap."""
+    import itertools
+
+    sizes = op.kron.shape
+    D = op.ndim
+    strides = []
+    s = 1
+    for d in reversed(range(D)):
+        strides.insert(0, s)
+        s *= sizes[d]
+    rows = []
+    wts = []
+    for taps in itertools.product(range(4), repeat=D):
+        flat = sum((op.idx[:, d] + taps[d]) * strides[d] for d in range(D))
+        cw = op.w[:, taps[0], 0]
+        for d in range(1, D):
+            cw = cw * op.w[:, taps[d], d]
+        rows.append(flat)
+        wts.append(cw)
+    return jnp.stack(rows, axis=-1), jnp.stack(wts, axis=-1)  # (n, 4^D) x2
+
+
+def interp_matvec_nd(op: SKIKronOperator, vg: jax.Array) -> jax.Array:
+    """W @ vg, vg (m,) or (m, r) flat grid vector (row-major)."""
+    rows, wts = _nd_taps(op)
+    squeeze = vg.ndim == 1
+    v2 = vg[:, None] if squeeze else vg
+    gath = v2[rows]  # (n, T, r)
+    out = jnp.einsum("nt,ntr->nr", wts, gath,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out[:, 0] if squeeze else out
+
+
+def interp_rmatvec_nd(op: SKIKronOperator, vn: jax.Array) -> jax.Array:
+    """W^T @ vn -> flat grid vector (m,) / (m, r)."""
+    import math
+
+    rows, wts = _nd_taps(op)
+    m = math.prod(op.kron.shape)
+    squeeze = vn.ndim == 1
+    v2 = vn[:, None] if squeeze else vn
+    r = v2.shape[1]
+    vals = (wts[:, :, None] * v2[:, None, :]).reshape(-1, r)
+    out = jnp.zeros((m, r), v2.dtype).at[rows.reshape(-1)].add(vals)
+    return out[:, 0] if squeeze else out
+
+
+def ski_kron_matvec(op: SKIKronOperator, cols, v: jax.Array, shift=0.0):
+    """(W ((x)_d T_d) W^T + shift I) @ v for scattered D-dim inputs."""
+    from gaussian_processes_tpu.ops import kronecker
+
+    core = kronecker.kron_matvec(cols, interp_rmatvec_nd(op, v))
+    out = interp_matvec_nd(op, core)
+    return out + jnp.asarray(shift, out.dtype) * v
+
+
+def ski_kron_dense(kernel, op: SKIKronOperator) -> jax.Array:
+    """Dense W K_g W^T oracle for tests (O(n m + m^2))."""
+    from gaussian_processes_tpu.ops import kronecker
+
+    g = kronecker.kron_inputs(op.kron.axes)
+    Kg = kernel(g, g)
+    return interp_matvec_nd(op, interp_matvec_nd(op, Kg).T)

@@ -29,6 +29,10 @@ class DataConfig:
     seed: int = 0
     x_lo: float = -3.14159265
     x_hi: float = 3.14159265
+    #: "scattered" = sorted uniform draws; "grid" = endpoint-exclusive
+    #: uniform grid (the circulant/Whittle paths' circle closes exactly
+    #: at x_hi, and integer `freq` makes the sine circle-compatible)
+    layout: str = "scattered"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -129,6 +133,17 @@ CONFIGS = {
         data=DataConfig(n=500),
         nuts=NUTSConfig(n_chains=1024, num_warmup=500, num_samples=1000),
     ),
+    # beyond the five: fully Bayesian hyperparameters on a 2^20-point
+    # uniform grid via the Whittle (circulant-model) likelihood — pure
+    # FFT leapfrogs, deterministic (benchmarks/demo_bayes1m.py)
+    "grid1m_bayes_whittle": RunConfig(
+        name="grid1m_bayes_whittle",
+        task="bayes_grid",
+        kernel=KernelConfig(h=1.0, w=0.006),
+        data=DataConfig(n=1 << 20, freq=50.0, layout="grid"),
+        nuts=NUTSConfig(n_chains=16, num_warmup=300, num_samples=500,
+                        prior_std=1.0, chunk_size=10),
+    ),
 }
 
 
@@ -159,7 +174,11 @@ def make_data(cfg: DataConfig, dtype="float64"):
     import numpy as np
 
     rng = np.random.default_rng(cfg.seed)
-    x = np.sort(rng.uniform(cfg.x_lo, cfg.x_hi, cfg.n)).astype(dtype)
+    if cfg.layout == "grid":
+        span = cfg.x_hi - cfg.x_lo
+        x = (np.arange(cfg.n) * (span / cfg.n) + cfg.x_lo).astype(dtype)
+    else:
+        x = np.sort(rng.uniform(cfg.x_lo, cfg.x_hi, cfg.n)).astype(dtype)
     f = np.sin(cfg.freq * x)
     y = (f + cfg.noise * rng.standard_normal(cfg.n)).astype(dtype)
     xo = np.linspace(cfg.x_lo, cfg.x_hi, cfg.n_test).astype(dtype)

@@ -217,7 +217,11 @@ def test_pivoted_cholesky_overrank_stays_sane():
     assert L.dtype == jnp.float32
     K = wide(x32, x32)
     rel = float(jnp.linalg.norm(K - L @ L.T) / jnp.linalg.norm(K))
-    assert rel < 1e-5
+    # the freeze floor is 1e3*eps of the max diagonal (raised from
+    # 10*eps after TPU-vs-CPU f32 round-off scatter let ~100 junk
+    # columns through on chip — see pivoted_cholesky), so the best
+    # achievable reconstruction is ~1e-4 relative, not 1e-5
+    assert rel < 5e-4
     # the tail columns must be exactly zero (frozen), and the Woodbury
     # apply built from L must still be a sane preconditioner
     tail_norm = float(jnp.abs(L[:, -20:]).max())

@@ -205,3 +205,37 @@ def test_sharded_chees_runs_and_matches_statistics():
         < 4 * ref_draws.std(0).max() / np.sqrt(80)
     )
     assert np.isfinite(float(res.step_size)) and float(res.traj_length) > 0
+
+
+def test_sharded_chees_on_whittle_posterior():
+    """The Whittle (circulant-model) posterior composes with chain
+    sharding: the FFT log-density is a pure function, so the sharded
+    sampler needs nothing new — gate moments against the single-device
+    run on the same posterior."""
+    from gaussian_processes_tpu.inference import make_log_posterior_whittle
+    from gaussian_processes_tpu.inference.chees import sample_chees
+    from gaussian_processes_tpu.parallel import sample_chees_sharded
+
+    n = 2048
+    x = jnp.asarray(np.arange(n) * (4.0 / n) - 2.0)  # circle closes at 4
+    rng = np.random.default_rng(11)
+    y = jnp.asarray(np.sin(2 * np.pi * 3 * np.asarray(x) / 4.0)
+                    + 0.2 * rng.standard_normal(n))
+    k0 = GaussianKernel(h=1.0, w=0.15)
+    log_post = make_log_posterior_whittle(k0, x, y, prior_std=1.0,
+                                          jitter=1e-8)
+    key = jax.random.key(3)
+    k1, k2 = jax.random.split(key)
+    init = init_positions(k0, 0.2, k1, n_chains=16, spread=0.2)
+    mesh = make_chain_mesh(8)
+    res = sample_chees_sharded(
+        log_post, init, k2, mesh=mesh, num_warmup=150, num_samples=150,
+    )
+    draws = np.asarray(res.positions).reshape(-1, 3)
+    assert np.all(np.isfinite(draws))
+    ref = sample_chees(log_post, init, k2, num_warmup=150, num_samples=150)
+    ref_draws = np.asarray(ref.positions).reshape(-1, 3)
+    assert np.all(
+        np.abs(draws.mean(0) - ref_draws.mean(0))
+        < 4 * ref_draws.std(0).max() / np.sqrt(60)
+    )

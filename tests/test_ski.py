@@ -154,6 +154,102 @@ def test_value_and_grad_ski_matches_dense():
                                rtol=0.3, atol=0.5)
 
 
+def _scattered_2d(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.uniform(-1.0, 1.0, (n, 2)))
+
+
+def _dense_W_nd(op):
+    import math
+
+    rows, wts = ski._nd_taps(op)
+    rows, wts = np.asarray(rows), np.asarray(wts)
+    W = np.zeros((op.n, math.prod(op.kron.shape)))
+    for t in range(rows.shape[1]):
+        W[np.arange(op.n), rows[:, t]] += wts[:, t]
+    return W
+
+
+def test_ski_nd_interp_matches_dense_W():
+    from gaussian_processes_tpu.ops import kronecker
+
+    x = _scattered_2d(80, seed=20)
+    op = ski.interpolation_weights_nd(
+        x, (ski.make_grid(x[:, 0], 24), ski.make_grid(x[:, 1], 20)))
+    W = _dense_W_nd(op)
+    np.testing.assert_allclose(W.sum(axis=1), 1.0, atol=1e-12)  # POU
+    rng = np.random.default_rng(21)
+    m = W.shape[1]
+    vg = jnp.asarray(rng.standard_normal((m, 3)))
+    vn = jnp.asarray(rng.standard_normal((op.n, 3)))
+    np.testing.assert_allclose(np.asarray(ski.interp_matvec_nd(op, vg)),
+                               W @ np.asarray(vg), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ski.interp_rmatvec_nd(op, vn)),
+                               W.T @ np.asarray(vn), atol=1e-12)
+    # quadratic exactness carries over to the tensor-product stencil
+    g = kronecker.kron_inputs(op.kron.axes)
+    f = jnp.square(g[:, 0]) + 0.5 * g[:, 0] * g[:, 1]
+    got = ski.interp_matvec_nd(op, f)
+    want = jnp.square(x[:, 0]) + 0.5 * x[:, 0] * x[:, 1]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-9)
+
+
+def test_ski_kron_matvec_matches_dense_assembly():
+    from gaussian_processes_tpu import ARDGaussianKernel
+    from gaussian_processes_tpu.ops import kronecker
+
+    kernel = ARDGaussianKernel(h=jnp.float64(1.1),
+                               w=jnp.asarray([0.4, 0.5], jnp.float64))
+    x = _scattered_2d(90, seed=22)
+    op = ski.interpolation_weights_nd(
+        x, (ski.make_grid(x[:, 0], 28), ski.make_grid(x[:, 1], 24)))
+    cols = kronecker.kron_columns(kernel, op.kron)
+    rng = np.random.default_rng(23)
+    v = jnp.asarray(rng.standard_normal((op.n, 2)))
+    A = np.asarray(ski.ski_kron_dense(kernel, op)) + 0.25 * np.eye(op.n)
+    got = ski.ski_kron_matvec(op, cols, v, 0.25)
+    np.testing.assert_allclose(np.asarray(got), A @ np.asarray(v), atol=1e-9)
+
+
+def test_fit_and_grad_ski_kron_match_dense_2d():
+    from gaussian_processes_tpu import ARDGaussianKernel
+
+    kernel = ARDGaussianKernel(h=jnp.float64(1.0),
+                               w=jnp.asarray([0.4, 0.45], jnp.float64))
+    n = 250
+    x = _scattered_2d(n, seed=24)
+    rng = np.random.default_rng(25)
+    f = np.sin(2 * np.asarray(x[:, 0])) * np.cos(np.asarray(x[:, 1]))
+    y = jnp.asarray(f + 0.1 * rng.standard_normal(n))
+    op = ski.interpolation_weights_nd(
+        x, (ski.make_grid(x[:, 0], 64), ski.make_grid(x[:, 1], 64)))
+
+    post = fit_iterative(kernel, x, y, 0.3, jax.random.key(0),
+                         num_probes=32, num_iters=300, tol=1e-11,
+                         jitter=1e-8, structure=op)
+    dense = fit(kernel, x, y, 0.3, jitter=1e-8)
+    assert float(post.solve_residual) < 1e-8
+    np.testing.assert_allclose(np.asarray(post.alpha),
+                               np.asarray(dense.alpha), atol=5e-4)
+    assert abs(float(post.log_marginal) - float(dense.log_marginal)) \
+        < 0.02 * abs(float(dense.log_marginal)) + 4.0
+
+    xo = _scattered_2d(40, seed=26) * 0.8
+    mean_i, var_i = predict_diag_iterative(
+        post, xo, num_iters=300, tol=1e-11, jitter=1e-8, structure=op)
+    mean_d, var_d = predict_diag(dense, xo)
+    np.testing.assert_allclose(np.asarray(mean_i), np.asarray(mean_d), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(var_i), np.asarray(var_d), atol=5e-4)
+
+    lml_s, g_s = log_marginal_value_and_grad_iterative(
+        kernel, x, y, 0.3, jax.random.key(1),
+        num_probes=64, num_iters=300, tol=1e-11, jitter=1e-8, structure=op)
+    lml_a, g_a = log_marginal_value_and_grad(kernel, x, y, 0.3, jitter=1e-8)
+    assert abs(float(lml_s) - float(lml_a)) < 0.02 * abs(float(lml_a)) + 4.0
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_a),
+                               rtol=0.3, atol=0.5)
+
+
 def test_ski_grad_is_gradient_of_ski_surrogate():
     """The Hutchinson gradient must differentiate the SURROGATE (W K_g W^T),
     not the exact kernel: check against finite differences of the exact
@@ -187,3 +283,49 @@ def test_ski_grad_is_gradient_of_ski_surrogate():
         tm[p] -= eps
         fd[p] = (dense_surrogate_lml(*tp) - dense_surrogate_lml(*tm)) / (2 * eps)
     np.testing.assert_allclose(np.asarray(g), fd, rtol=0.2, atol=0.3)
+
+
+def test_ski_fast_mean_matches_strip_mean():
+    from gaussian_processes_tpu.models.iterative_gp import (
+        predict_mean_iterative,
+    )
+
+    kernel = GaussianKernel(h=1.0, w=0.35)
+    n = 200
+    x = _scattered(n, seed=30)
+    rng = np.random.default_rng(31)
+    y = jnp.asarray(np.sin(2 * np.asarray(x)) + 0.1 * rng.standard_normal(n))
+    op = ski.interpolation_weights(x, ski.make_grid(x, 256))
+    post = fit_iterative(kernel, x, y, 0.3, jax.random.key(0),
+                         num_probes=8, num_iters=200, tol=1e-11,
+                         jitter=1e-8, structure=op)
+    xo = jnp.linspace(-1.5, 1.5, 64, dtype=x.dtype)
+    fast = predict_mean_iterative(post, xo, structure=op)
+    strip = predict_mean_iterative(post, xo)
+    # strip computes K(xo,x) @ alpha exactly; fast computes the SKI
+    # surrogate's mean — they agree to the interpolation error
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(strip), atol=5e-4)
+
+
+def test_ski_kron_fast_mean_matches_strip_mean():
+    from gaussian_processes_tpu import ARDGaussianKernel
+    from gaussian_processes_tpu.models.iterative_gp import (
+        predict_mean_iterative,
+    )
+
+    kernel = ARDGaussianKernel(h=jnp.float64(1.0),
+                               w=jnp.asarray([0.4, 0.45], jnp.float64))
+    n = 200
+    x = _scattered_2d(n, seed=32)
+    rng = np.random.default_rng(33)
+    y = jnp.asarray(rng.standard_normal(n) * 0.1
+                    + np.sin(2 * np.asarray(x[:, 0])))
+    op = ski.interpolation_weights_nd(
+        x, (ski.make_grid(x[:, 0], 64), ski.make_grid(x[:, 1], 64)))
+    post = fit_iterative(kernel, x, y, 0.3, jax.random.key(0),
+                         num_probes=8, num_iters=300, tol=1e-11,
+                         jitter=1e-8, structure=op)
+    xo = _scattered_2d(50, seed=34) * 0.8
+    fast = predict_mean_iterative(post, xo, structure=op)
+    strip = predict_mean_iterative(post, xo)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(strip), atol=2e-3)

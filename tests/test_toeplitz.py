@@ -152,6 +152,94 @@ def test_slq_logdet_circulant_accuracy():
     assert abs(got - want) < 0.01 * abs(want) + 0.5, (got, want)
 
 
+def _circle_grid(n, circumference=4.0, lo=-2.0):
+    """Endpoint-exclusive uniform grid: the circulant model's circle
+    closes exactly at x[0] + circumference."""
+    return jnp.asarray(np.arange(n) * (circumference / n) + lo)
+
+
+def _periodic_data(n, noise=0.2, seed=7):
+    """3 exact cycles on the circle — boundary-compatible with the
+    circulant model."""
+    x = _circle_grid(n)
+    rng = np.random.default_rng(seed)
+    sig = np.sin(2 * np.pi * 3 * np.asarray(x) / 4.0)
+    return x, jnp.asarray(sig + noise * rng.standard_normal(n))
+
+
+def test_whittle_lml_tracks_dense_on_periodic_data():
+    """Circle-compatible data: the Whittle gap must be O(1) nats total
+    (NOT growing with n) — measured |gap| was 0.85 / 2.4 at n=1024/4096
+    vs 26 / 111 for seam-mismatched data."""
+    kernel = GaussianKernel(h=1.2, w=0.1)
+    from gaussian_processes_tpu.models.gp import log_marginal_likelihood
+
+    for n in (1024, 4096):
+        x, y = _periodic_data(n)
+        lml_w = float(toeplitz.whittle_log_marginal(kernel, x, y, 0.2, 1e-8))
+        lml_d = float(log_marginal_likelihood(kernel, x, y, 0.2, 1e-8))
+        assert abs(lml_w - lml_d) < 10.0, (n, lml_w, lml_d)
+
+
+def test_whittle_gradient_tracks_analytic_on_periodic_data():
+    n = 4096
+    x, y = _periodic_data(n, seed=8)
+
+    def f(theta):
+        k = GaussianKernel(h=theta[0], w=theta[1])
+        return toeplitz.whittle_log_marginal(k, x, y, theta[2], 1e-8)
+
+    kernel = GaussianKernel(h=1.0, w=0.12)
+    g_w = jax.grad(f)(jnp.asarray([1.0, 0.12, 0.2]))
+    _, g_a = log_marginal_value_and_grad(kernel, x, y, 0.2, jitter=1e-8)
+    np.testing.assert_allclose(np.asarray(g_w), np.asarray(g_a),
+                               rtol=0.05, atol=40.0)
+
+
+def test_whittle_seam_bias_is_detected():
+    """Non-periodic data on the same grid: the gap must be much larger —
+    this is the measured boundary caveat documented in
+    whittle_log_marginal's docstring."""
+    kernel = GaussianKernel(h=1.0, w=0.12)
+    from gaussian_processes_tpu.models.gp import log_marginal_likelihood
+
+    n = 1024
+    x = _circle_grid(n)
+    rng = np.random.default_rng(9)
+    y_per = jnp.asarray(np.sin(2 * np.pi * 3 * np.asarray(x) / 4.0)
+                        + 0.2 * rng.standard_normal(n))
+    y_seam = jnp.asarray(np.sin(6 * np.asarray(x))
+                         + 0.2 * rng.standard_normal(n))
+    gaps = {}
+    for tag, y in (("periodic", y_per), ("seam", y_seam)):
+        lml_w = float(toeplitz.whittle_log_marginal(kernel, x, y, 0.2, 1e-8))
+        lml_d = float(log_marginal_likelihood(kernel, x, y, 0.2, 1e-8))
+        gaps[tag] = abs(lml_w - lml_d)
+    assert gaps["seam"] > 5.0 * gaps["periodic"], gaps
+
+
+def test_whittle_posterior_matches_dense_log_posterior():
+    from gaussian_processes_tpu.inference import (
+        make_log_posterior,
+        make_log_posterior_whittle,
+    )
+
+    n = 2048
+    x, y = _periodic_data(n, seed=9)
+    kernel = GaussianKernel(h=1.0, w=0.12)
+    lp_w = make_log_posterior_whittle(kernel, x, y, prior_std=1.0, jitter=1e-8)
+    lp_d = make_log_posterior(kernel, x, y, prior_std=1.0, jitter=1e-8)
+    u0 = jnp.log(jnp.asarray([1.0, 0.12, 0.2]))
+    for du in (jnp.zeros(3), jnp.asarray([0.2, -0.1, 0.1]),
+               jnp.asarray([-0.3, 0.2, -0.2])):
+        u = u0 + du
+        vw, gw = jax.value_and_grad(lp_w)(u)
+        vd, gd = jax.value_and_grad(lp_d)(u)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(gd),
+                                   rtol=0.1, atol=20.0)
+        assert abs(float(vw) - float(vd)) < 0.01 * abs(float(vd)) + 20.0
+
+
 def test_fit_iterative_toeplitz_matches_dense():
     kernel = GaussianKernel(h=1.0, w=0.35)
     n = 200
