@@ -89,3 +89,24 @@ def test_run_config_fit_large_tiny():
     s = cli.run_config(cfg)
     assert np.isfinite(s["log_marginal"])
     assert "block_size" in s
+
+
+def test_run_config_bayes_grid_tiny():
+    cfg = _tiny(
+        "grid1m_bayes_whittle",
+        data=DataConfig(n=512, freq=3.0, layout="grid"),
+        nuts=NUTSConfig(n_chains=2, num_warmup=20, num_samples=10,
+                        prior_std=1.0, chunk_size=5),
+    )
+    s = cli.run_config(cfg)
+    assert s["n_chains"] == 2 and s["n_samples"] == 10
+    assert np.all(np.isfinite(np.asarray(s["posterior_mean"])))
+
+
+def test_make_data_grid_layout_closes_circle():
+    cfg = DataConfig(n=128, layout="grid", x_lo=-1.0, x_hi=1.0)
+    x, y, xo = make_data(cfg)
+    d = np.diff(x)
+    np.testing.assert_allclose(d, d[0], rtol=1e-12)
+    # endpoint-exclusive: x[-1] + dx == x_hi (the circle closes exactly)
+    np.testing.assert_allclose(x[-1] + d[0], 1.0, atol=1e-12)
