@@ -312,8 +312,10 @@ def bench_ski():
     rng = np.random.default_rng()
     nonce = float(int(uuid.uuid4()) % 1000003) * 1e-30
 
-    for n, m, iters, rank in ((65536, 16384, 150, 2048),
-                              (262144, 32768, 150, 2048)):
+    # one size: at n ~ 6e4+ with a smooth rhs, f32 CG through the SKI
+    # operator runs near its round-off floor (ops/ski.py docstring) —
+    # the emitted residual is the honest record of where it lands
+    for n, m, iters, rank in ((65536, 16384, 300, 2048),):
         w = max(100.0 * 2 * np.pi / n, 1e-4)
         kern = GaussianKernel(h=jnp.asarray(1.0, DTYPE), w=jnp.asarray(w, DTYPE))
         x, y = _sine_problem(n, seed=3)
@@ -338,6 +340,46 @@ def bench_ski():
         _emit({"metric": f"ski_gp_fit_n{n}_scattered_m{m}_{DTYPE}_wall",
                "value": round(med, 4), "unit": "s",
                "residual": float(res), "vs_baseline": None})
+
+
+def bench_rff():
+    """Feature-space GP fit at N=2^20 SCATTERED points (models/rff.py).
+
+    One blocked O(n F^2) MXU sweep + an F x F Cholesky — the third
+    large-N regime (no structure required, no CG).  Residual-free by
+    construction; accuracy is the O(1/sqrt F) feature approximation.
+    """
+    import uuid
+
+    import jax
+    import jax.numpy as jnp
+
+    from gaussian_processes_tpu import GaussianKernel, fit_rff
+
+    n = int(os.environ.get("BENCH_RFF_N", 1 << 20))
+    F = int(os.environ.get("BENCH_RFF_F", 2048))
+    x, y = _sine_problem(n, seed=5)
+    w = max(100.0 * 2 * np.pi / n, 1e-3)
+    kern = GaussianKernel(h=jnp.asarray(1.0, DTYPE), w=jnp.asarray(w, DTYPE))
+    nonce = float(int(uuid.uuid4()) % 1000003) * 1e-30
+    rng = np.random.default_rng()
+
+    @jax.jit
+    def f(x_, y_):
+        p = fit_rff(kern, x_, y_, 0.1, jax.random.key(0),
+                    num_features=F, block_size=16384, jitter=1e-6)
+        return p.log_marginal + nonce
+
+    floor = _dispatch_floor(jax, jnp)
+    inputs = [
+        (jnp.asarray(x), jnp.asarray(y * np.float32(1 + rng.random() * 1e-3)))
+        for _ in range(3)
+    ]
+    med, out = _probe_walls(jax, lambda a, b: f(a, b), inputs)
+    assert bool(jnp.isfinite(out)), "non-finite rff lml"
+    _emit({"metric": f"rff_gp_fit_n{n}_F{F}_{DTYPE}_wall",
+           "value": round(max(med - floor, 0.0), 4), "unit": "s",
+           "vs_baseline": None})
 
 
 def _sampler_problem(n=500, n_chains=64):
@@ -426,6 +468,7 @@ _SECTIONS = {
     "toeplitz": bench_toeplitz,
     "ski": bench_ski,
     "whittle": bench_whittle,
+    "rff": bench_rff,
     "chees": bench_chees,
     "nuts": bench_nuts,
 }

@@ -34,8 +34,8 @@ def main():
 
     n = int(os.environ.get("D1M_N", 1 << 20))
     n_chains = int(os.environ.get("D1M_CHAINS", 16))
-    num_warmup = int(os.environ.get("D1M_WARMUP", 300))
-    num_samples = int(os.environ.get("D1M_SAMPLES", 500))
+    num_warmup = int(os.environ.get("D1M_WARMUP", 400))
+    num_samples = int(os.environ.get("D1M_SAMPLES", 400))
 
     rng = np.random.default_rng(0)
     # endpoint-EXCLUSIVE grid: the circulant model's circle closes at
@@ -60,7 +60,11 @@ def main():
     )
 
     k1, k2 = jax.random.split(jax.random.key(0))
-    init = init_positions(k0, s0, k1, n_chains=n_chains, spread=0.1,
+    # tight spread: at n=1e6 the posterior is razor-thin (log-noise sd
+    # ~1e-3); chains initialized 0.1 log-units out can freeze under the
+    # population-shared ChEES step size (measured: R-hat=inf from one
+    # stuck chain at spread=0.1)
+    init = init_positions(k0, s0, k1, n_chains=n_chains, spread=0.02,
                           dtype=jnp.float32)
 
     t0 = time.perf_counter()

@@ -64,6 +64,12 @@ from gaussian_processes_tpu.models.pathwise import (
     sample_posterior_pathwise,
     sample_posterior_pathwise_iterative,
 )
+from gaussian_processes_tpu.models.rff import (
+    RFFPosterior,
+    fit_rff,
+    predict_rff,
+    sample_rff_posterior,
+)
 from gaussian_processes_tpu.models.gp_object import GP
 from gaussian_processes_tpu.inference import (
     fit_mle,
@@ -105,6 +111,10 @@ __all__ = [
     "FourierFeatures",
     "periodic_harmonic_features",
     "prior_features",
+    "RFFPosterior",
+    "fit_rff",
+    "predict_rff",
+    "sample_rff_posterior",
     "sample_posterior_pathwise",
     "sample_posterior_pathwise_iterative",
     "GP",

@@ -200,7 +200,16 @@ def chees_step(
     step_size = state.step_size
 
     if adapt_traj:
-        pooled_accept = reduce_mean(accept)
+        # HARMONIC mean of per-chain acceptance for step-size adaptation:
+        # the arithmetic mean hides stuck chains (measured at N=2^20:
+        # one chain frozen at ~0 acceptance leaves the pooled mean at
+        # the 0.65 target, so the shared step size never shrinks for it
+        # and split-R-hat = inf).  The harmonic mean is dominated by the
+        # worst chains, throttling the population until every chain
+        # moves; the 1e-3 floor keeps one pathological chain from
+        # stalling adaptation outright.  Built from reduce_mean only, so
+        # sharded runs pool it exactly (pmean of reciprocals).
+        pooled_accept = 1.0 / reduce_mean(1.0 / jnp.maximum(accept, 1e-3))
         da = adapt.da_update(da, pooled_accept, target_accept=target_accept)
 
         # ChEES trajectory-length adaptation: Adam on log T with the

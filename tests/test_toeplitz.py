@@ -328,3 +328,30 @@ def test_pathwise_iterative_toeplitz_matches_plain():
     np.testing.assert_allclose(
         np.asarray(d_plain), np.asarray(d_toep), atol=1e-7
     )
+
+
+def test_whittle_mle_recovers_hyperparameters():
+    """Type-II MLE on the Whittle objective (fit_mle(objective="whittle"))
+    recovers the dense-MLE optimum within the measured Whittle gap on
+    periodic-compatible grid data."""
+    from gaussian_processes_tpu.inference.mle import fit_mle
+
+    n = 2048
+    x, y = _periodic_data(n, noise=0.2, seed=12)
+    k0 = GaussianKernel(h=0.5, w=0.3)
+    res_w = fit_mle(k0, x, y, 0.5, num_steps=60, method="adam",
+                    learning_rate=0.05, jitter=1e-8, objective="whittle")
+    res_d = fit_mle(k0, x, y, 0.5, num_steps=60, method="adam",
+                    learning_rate=0.05, jitter=1e-8)
+    # noise is the sharpest-identified parameter at n=2048
+    np.testing.assert_allclose(float(res_w.noise), float(res_d.noise),
+                               rtol=0.05)
+    # (h, w) sit on a soft ridge — gate the QUALITY of the whittle
+    # optimum under the exact dense lml instead of parameter equality
+    from gaussian_processes_tpu.models.gp import log_marginal_likelihood
+
+    lml_at_w = float(log_marginal_likelihood(
+        res_w.kernel, x, y, res_w.noise, 1e-8))
+    lml_at_d = float(log_marginal_likelihood(
+        res_d.kernel, x, y, res_d.noise, 1e-8))
+    assert lml_at_w > lml_at_d - 5.0, (lml_at_w, lml_at_d)
