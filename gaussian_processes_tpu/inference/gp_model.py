@@ -181,6 +181,7 @@ def make_log_posterior_whittle(
     prior_mean=0.0,
     prior_std=2.0,
     jitter: float = 0.0,
+    center: bool = True,
 ) -> Callable:
     """Log posterior over u = log(theta) with the WHITTLE likelihood.
 
@@ -192,18 +193,66 @@ def make_log_posterior_whittle(
     surrogate was measured to acquire an f32 systematic bias
     (ops/toeplitz.py::whittle_log_marginal).  Asymptotically exact;
     gated against the dense posterior in tests/test_toeplitz.py.
+
+    ``center=True`` (default) returns the density SHIFTED by the
+    constant -lml(exp(prior_mean)) by accumulating per-frequency-bin
+    DIFFERENCES against the reference spectrum at the prior mean.
+    Why (measured at N=2^20, both chip and CPU f32): the absolute lml
+    is ~1e6 nats, where f32 resolution is ~0.06 nats — the same order
+    as a well-tuned HMC energy error — so the MH acceptance becomes
+    rounding noise at every step size and dual averaging collapses the
+    step to zero (frozen chains, split-R-hat = inf).  Centering cancels
+    the large magnitude per bin BEFORE the reduction, restoring full
+    f32 resolution around the sampling region.  MCMC and optimizers are
+    invariant to the constant shift.
     """
-    from gaussian_processes_tpu.ops.toeplitz import whittle_log_marginal
+    from gaussian_processes_tpu.ops.toeplitz import (
+        circulant_eigenvalues,
+        toeplitz_column,
+        whittle_log_marginal,
+    )
 
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     mu = jnp.asarray(prior_mean)
     sd = jnp.asarray(prior_std)
 
+    if not center:
+        def log_post(u):
+            kernel, noise = unpack(kernel_template, u)
+            lml = whittle_log_marginal(kernel, x, y, noise, jitter)
+            return lml - 0.5 * jnp.sum(jnp.square((u - mu) / sd))
+
+        return log_post
+
+    n = y.shape[0]
+    dtype = y.dtype
+    u_c = jnp.broadcast_to(mu.astype(dtype),
+                           (kernel_template.n_params + 1,))
+    kern_c, noise_c = unpack(kernel_template, u_c)
+    lam0 = circulant_eigenvalues(
+        toeplitz_column(kern_c, x),
+        jnp.square(noise_c) + jitter,
+    )
+    log_lam0 = jnp.log(lam0)
+    fy = jnp.fft.rfft(y)
+    p_y = jnp.square(fy.real) + jnp.square(fy.imag)
+    m = lam0.shape[0]
+    w = jnp.full((m,), 2.0, dtype)
+    w = w.at[0].set(1.0)
+    if n % 2 == 0:
+        w = w.at[m - 1].set(1.0)
+
     def log_post(u):
         kernel, noise = unpack(kernel_template, u)
-        lml = whittle_log_marginal(kernel, x, y, noise, jitter)
-        return lml - 0.5 * jnp.sum(jnp.square((u - mu) / sd))
+        col = toeplitz_column(kernel, x)
+        lam = circulant_eigenvalues(col, jnp.square(noise) + jitter)
+        # per-bin differences: each term is O(|u - mu|), so the f32
+        # reduction never sees the ~1e6-magnitude absolute lml
+        dquad = jnp.sum(w * p_y * (lam0 - lam) / (lam * lam0)) / n
+        dlogdet = jnp.sum(w * (jnp.log(lam) - log_lam0))
+        lml_centered = -0.5 * (dquad + dlogdet)
+        return lml_centered - 0.5 * jnp.sum(jnp.square((u - mu) / sd))
 
     return log_post
 

@@ -355,3 +355,29 @@ def test_whittle_mle_recovers_hyperparameters():
     lml_at_d = float(log_marginal_likelihood(
         res_d.kernel, x, y, res_d.noise, 1e-8))
     assert lml_at_w > lml_at_d - 5.0, (lml_at_w, lml_at_d)
+
+
+def test_whittle_centered_objective_is_constant_shift():
+    """center=True must change the posterior by exactly a constant:
+    differences across points and gradients identical (f64 gate; the
+    centering exists to restore f32 resolution at |lml| ~ 1e6)."""
+    from gaussian_processes_tpu.inference import make_log_posterior_whittle
+
+    n = 2048
+    x, y = _periodic_data(n, seed=14)
+    kernel = GaussianKernel(h=1.0, w=0.12)
+    mu = jnp.log(jnp.asarray([0.9, 0.15, 0.25]))
+    lp_c = make_log_posterior_whittle(kernel, x, y, prior_mean=mu,
+                                      prior_std=1.0, jitter=1e-8, center=True)
+    lp_u = make_log_posterior_whittle(kernel, x, y, prior_mean=mu,
+                                      prior_std=1.0, jitter=1e-8, center=False)
+    u1 = mu + jnp.asarray([0.1, -0.05, 0.08])
+    u2 = mu + jnp.asarray([-0.2, 0.1, -0.1])
+    d_c = float(lp_c(u1)) - float(lp_c(u2))
+    d_u = float(lp_u(u1)) - float(lp_u(u2))
+    np.testing.assert_allclose(d_c, d_u, rtol=1e-9)
+    g_c = jax.grad(lp_c)(u1)
+    g_u = jax.grad(lp_u)(u1)
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_u), rtol=1e-9)
+    # and at the center the shifted density equals just the prior term (0)
+    np.testing.assert_allclose(float(lp_c(mu)), 0.0, atol=1e-8)
