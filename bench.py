@@ -20,7 +20,7 @@ time repeated identical calls — vary the inputs every call and difference
 two in-jit scan lengths so per-call dispatch overhead cancels exactly.
 Sections are independent; a failure prints an "error" line and the rest
 still run.  BENCH_MODE selects a single section (fit | chol | iterative |
-chees | nuts) for quick runs.
+toeplitz | ski | whittle | rff | sgpr | chees | nuts) for quick runs.
 """
 
 import json
@@ -382,6 +382,57 @@ def bench_rff():
            "vs_baseline": None})
 
 
+def bench_sgpr():
+    """Sparse (Titsias) GP fit at N=2^20 SCATTERED points (models/sgpr.py).
+
+    One blocked O(n m^2) MXU sweep + (m, m) eig algebra — the fourth
+    large-N regime: data-placed inducing points, calibrated variances,
+    no CG.  The emitted value is the fit wall; the bound and a
+    prediction check gate sanity.
+    """
+    import uuid
+
+    import jax
+    import jax.numpy as jnp
+
+    from gaussian_processes_tpu import GaussianKernel, fit_sgpr
+    from gaussian_processes_tpu.models.sgpr import (
+        kmeans_inducing, predict_sgpr,
+    )
+
+    n = int(os.environ.get("BENCH_SGPR_N", 1 << 20))
+    m = int(os.environ.get("BENCH_SGPR_M", 1024))
+    x, y = _sine_problem(n, seed=7)
+    w = max(100.0 * 2 * np.pi / n, 1e-3)
+    kern = GaussianKernel(h=jnp.asarray(1.0, DTYPE), w=jnp.asarray(w, DTYPE))
+    z = kmeans_inducing(jax.random.PRNGKey(0), jnp.asarray(x), m, iters=5)
+    z = jax.block_until_ready(z)
+    nonce = float(int(uuid.uuid4()) % 1000003) * 1e-30
+    rng = np.random.default_rng()
+
+    @jax.jit
+    def f(x_, y_):
+        p = fit_sgpr(kern, x_, y_, 0.1, z, block_size=8192)
+        return p.log_marginal + nonce
+
+    floor = _dispatch_floor(jax, jnp)
+    inputs = [
+        (jnp.asarray(x), jnp.asarray(y * np.float32(1 + rng.random() * 1e-3)))
+        for _ in range(3)
+    ]
+    med, out = _probe_walls(jax, lambda a, b: f(a, b), inputs)
+    assert bool(jnp.isfinite(out)), "non-finite sgpr bound"
+    post = fit_sgpr(kern, jnp.asarray(x), jnp.asarray(y), 0.1, z,
+                    block_size=8192)
+    xo = jnp.linspace(float(np.min(x)), float(np.max(x)), 64).astype(DTYPE)
+    mean, var = predict_sgpr(post, xo)
+    assert bool(jnp.all(jnp.isfinite(mean)) and jnp.all(var > -1e-3)), \
+        "sgpr predictions unhealthy"
+    _emit({"metric": f"sgpr_gp_fit_n{n}_m{m}_{DTYPE}_wall",
+           "value": round(max(med - floor, 0.0), 4), "unit": "s",
+           "vs_baseline": None})
+
+
 def _sampler_problem(n=500, n_chains=64):
     import jax
     import jax.numpy as jnp
@@ -469,6 +520,7 @@ _SECTIONS = {
     "ski": bench_ski,
     "whittle": bench_whittle,
     "rff": bench_rff,
+    "sgpr": bench_sgpr,
     "chees": bench_chees,
     "nuts": bench_nuts,
 }

@@ -70,6 +70,18 @@ from gaussian_processes_tpu.models.rff import (
     predict_rff,
     sample_rff_posterior,
 )
+from gaussian_processes_tpu.models.sgpr import (
+    SGPRPosterior,
+    elbo_sgpr,
+    fit_sgpr,
+    fit_sgpr_mle,
+    kmeans_inducing,
+    make_log_posterior_sgpr,
+    predict_sgpr,
+    predict_sgpr_cov,
+    sample_sgpr_posterior,
+    select_inducing,
+)
 from gaussian_processes_tpu.models.gp_object import GP
 from gaussian_processes_tpu.inference import (
     fit_mle,
@@ -117,6 +129,16 @@ __all__ = [
     "sample_rff_posterior",
     "sample_posterior_pathwise",
     "sample_posterior_pathwise_iterative",
+    "SGPRPosterior",
+    "elbo_sgpr",
+    "fit_sgpr",
+    "fit_sgpr_mle",
+    "kmeans_inducing",
+    "make_log_posterior_sgpr",
+    "predict_sgpr",
+    "predict_sgpr_cov",
+    "sample_sgpr_posterior",
+    "select_inducing",
     "GP",
     "fit_mle",
     "fit_mle_restarts",

@@ -79,6 +79,7 @@ def fit_mle(
     jitter: float = 0.0,
     grad_tol: float = 1e-3,
     objective: str = "exact",
+    inducing=None,
 ) -> MLEResult:
     """Optimize (kernel params, noise) by maximizing log p(y | x, theta).
 
@@ -90,8 +91,28 @@ def fit_mle(
     model density instead of the dense lml — O(n log n) per step with no
     Cholesky, the type-II MLE companion of ``make_log_posterior_whittle``
     for grids at N ~ 10^5-10^6.
+
+    ``objective="sgpr"`` (requires ``inducing``, the (m[, D]) inducing
+    inputs — see ``models.sgpr.select_inducing``): maximize the Titsias
+    collapsed bound instead — O(n m^2) per step with only (m, m)
+    factorizations, the scattered-large-n companion (models/sgpr.py).
+    To also learn the inducing locations use
+    ``models.sgpr.fit_sgpr_mle(learn_inducing=True)``.
     """
-    if objective == "whittle":
+    if objective == "sgpr":
+        from gaussian_processes_tpu.models.sgpr import elbo_sgpr
+
+        if inducing is None:
+            raise ValueError("objective='sgpr' requires inducing points")
+        x_ = jnp.asarray(x)
+        y_ = jnp.asarray(y)
+        z_ = jnp.asarray(inducing)
+        sgpr_jitter = jitter if jitter > 0.0 else 1e-6
+
+        def log_lik(u):
+            kernel, noise = gp_model.unpack(kernel_template, u)
+            return elbo_sgpr(kernel, x_, y_, noise, z_, jitter=sgpr_jitter)
+    elif objective == "whittle":
         from gaussian_processes_tpu.ops.toeplitz import whittle_log_marginal
 
         x_ = jnp.asarray(x)

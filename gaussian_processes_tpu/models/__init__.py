@@ -27,6 +27,20 @@ from gaussian_processes_tpu.models.gp import (
     log_marginal_all,
     likelihood_value_grad_hessian,
 )
+from gaussian_processes_tpu.models.sgpr import (
+    SGPRPosterior,
+    elbo_sgpr,
+    fit_sgpr,
+    fit_sgpr_mle,
+    inducing_grid,
+    inducing_subset,
+    kmeans_inducing,
+    make_log_posterior_sgpr,
+    predict_sgpr,
+    predict_sgpr_cov,
+    sample_sgpr_posterior,
+    select_inducing,
+)
 from gaussian_processes_tpu.models.gp_object import GP
 
 __all__ = [
@@ -58,5 +72,17 @@ __all__ = [
     "log_marginal_hessian",
     "log_marginal_all",
     "likelihood_value_grad_hessian",
+    "SGPRPosterior",
+    "elbo_sgpr",
+    "fit_sgpr",
+    "fit_sgpr_mle",
+    "inducing_grid",
+    "inducing_subset",
+    "kmeans_inducing",
+    "make_log_posterior_sgpr",
+    "predict_sgpr",
+    "predict_sgpr_cov",
+    "sample_sgpr_posterior",
+    "select_inducing",
     "GP",
 ]

@@ -227,17 +227,29 @@ def test_whittle_posterior_matches_dense_log_posterior():
     n = 2048
     x, y = _periodic_data(n, seed=9)
     kernel = GaussianKernel(h=1.0, w=0.12)
-    lp_w = make_log_posterior_whittle(kernel, x, y, prior_std=1.0, jitter=1e-8)
+    lp_w = make_log_posterior_whittle(kernel, x, y, prior_std=1.0,
+                                      jitter=1e-8, center=False)
+    lp_c = make_log_posterior_whittle(kernel, x, y, prior_std=1.0,
+                                      jitter=1e-8, center=True)
     lp_d = make_log_posterior(kernel, x, y, prior_std=1.0, jitter=1e-8)
     u0 = jnp.log(jnp.asarray([1.0, 0.12, 0.2]))
+    shifts = []
     for du in (jnp.zeros(3), jnp.asarray([0.2, -0.1, 0.1]),
                jnp.asarray([-0.3, 0.2, -0.2])):
         u = u0 + du
         vw, gw = jax.value_and_grad(lp_w)(u)
+        vc, gc = jax.value_and_grad(lp_c)(u)
         vd, gd = jax.value_and_grad(lp_d)(u)
+        # uncentered Whittle matches the dense posterior in VALUE
+        assert abs(float(vw) - float(vd)) < 0.01 * abs(float(vd)) + 20.0
+        # both variants match the dense posterior in GRADIENT
         np.testing.assert_allclose(np.asarray(gw), np.asarray(gd),
                                    rtol=0.1, atol=20.0)
-        assert abs(float(vw) - float(vd)) < 0.01 * abs(float(vd)) + 20.0
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(gd),
+                                   rtol=0.1, atol=20.0)
+        # the centered variant differs from the uncentered by a constant
+        shifts.append(float(vc) - float(vw))
+    assert max(shifts) - min(shifts) < 1e-6 * (1.0 + abs(shifts[0]))
 
 
 def test_fit_iterative_toeplitz_matches_dense():
