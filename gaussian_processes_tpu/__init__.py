@@ -50,6 +50,8 @@ from gaussian_processes_tpu.models.gp import (
     predict,
     predict_diag,
     sample_posterior,
+    loo_predictive,
+    extend_posterior,
     log_predictive_density,
     log_marginal_likelihood,
     log_marginal_value_and_grad,
@@ -114,6 +116,8 @@ __all__ = [
     "predict",
     "predict_diag",
     "sample_posterior",
+    "loo_predictive",
+    "extend_posterior",
     "log_predictive_density",
     "log_marginal_likelihood",
     "log_marginal_value_and_grad",

@@ -212,6 +212,80 @@ def log_marginal_likelihood(kernel: Kernel, x, y, noise, jitter=0.0) -> jax.Arra
     return lml
 
 
+def loo_predictive(post: GPPosterior) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Exact leave-one-out predictives from ONE factorization.
+
+    Closed form (Rasmussen & Williams §5.4.2, with A = K^-1 and
+    K = K_f + s^2 I): mu_i = y_i - alpha_i / A_ii, var_i = 1 / A_ii
+    (y-space: includes the noise).  All n LOO fits come out of the
+    already-computed Cholesky via one triangular solve with I — O(n^3)
+    once, vs O(n^4) for n refits.  Returns (mu, var, log pseudo-
+    likelihood = sum_i log N(y_i; mu_i, var_i)) — the standard
+    model-selection alternative to the log marginal.
+    """
+    with jax.default_matmul_precision("highest"):
+        Linv = solve_triangular(
+            post.L, jnp.eye(post.L.shape[0], dtype=post.L.dtype), lower=True
+        )
+        diag_A = jnp.sum(jnp.square(Linv), axis=0)  # diag(K^-1)
+    mu = post.y - post.alpha / diag_A
+    var = 1.0 / diag_A
+    lpl = -0.5 * jnp.sum(
+        jnp.square(post.y - mu) / var + jnp.log(var) + _LOG_2PI
+    )
+    return mu, var, lpl
+
+
+def extend_posterior(
+    post: GPPosterior, x_new, y_new, jitter: float = 0.0
+) -> GPPosterior:
+    """Online update: append k observations in O(n^2 k), not O((n+k)^3).
+
+    Blocked Cholesky append via the Schur complement — one rectangular
+    triangular solve (MXU-friendly) plus a (k, k) factorization:
+
+        L' = [[L, 0], [B^T, chol(S)]],  B = L^-1 K(x, x_new),
+        S  = K(x_new, x_new) + (s^2 + jitter) I - B^T B
+
+    The result is bit-for-bit a valid GPPosterior (gated against a full
+    refit in tests): alpha/log_marginal are recomputed from L' by
+    O(n^2) triangular solves.  The reference rebuilds its memo cache
+    from scratch on any data change (SURVEY.md §4.3); this is the
+    framework's incremental path for streaming/serving workloads.
+    (Point REMOVAL needs a Cholesky downdate — numerically delicate and
+    not MXU-shaped; refit instead.)
+    """
+    x_new = jnp.atleast_1d(jnp.asarray(x_new))
+    y_new = jnp.atleast_1d(jnp.asarray(y_new))
+    k = y_new.shape[0]
+    n = post.y.shape[0]
+    dtype = post.L.dtype
+    with jax.default_matmul_precision("highest"):
+        Kxn = post.kernel(post.x, x_new)  # (n, k)
+        diag = jnp.square(post.noise) + jnp.asarray(jitter, dtype)
+        Knn = post.kernel(x_new, x_new) + diag * jnp.eye(k, dtype=dtype)
+        B = solve_triangular(post.L, Kxn, lower=True)  # (n, k)
+        S = Knn - jnp.matmul(B.T, B, precision=jax.lax.Precision.HIGHEST)
+        L_S = jnp.linalg.cholesky(0.5 * (S + S.T))
+        L_new = jnp.block([
+            [post.L, jnp.zeros((n, k), dtype)],
+            [B.T, L_S],
+        ])
+        x_all = jnp.concatenate([post.x, x_new], axis=0)
+        y_all = jnp.concatenate([post.y, y_new])
+        v = solve_triangular(L_new, y_all, lower=True)
+        alpha = solve_triangular(L_new.T, v, lower=False)
+    lml = (
+        -0.5 * jnp.dot(v, v)
+        - jnp.sum(jnp.log(jnp.diagonal(L_new)))
+        - 0.5 * (n + k) * _LOG_2PI
+    )
+    return GPPosterior(
+        kernel=post.kernel, x=x_all, y=y_all, noise=post.noise,
+        L=L_new, alpha=alpha, log_marginal=lml,
+    )
+
+
 def _full_jacobian(kernel: Kernel, x, noise, dtype):
     """dK/dtheta for theta = (kernel params..., s); shape (P + 1, n, n)."""
     n = x.shape[0]
