@@ -57,6 +57,15 @@ def main():
         "leftlook_pallas": lambda A: bc.cholesky_blocked(
             A, base=512, precision="high", algo="leftlook",
             base_impl="pallas"),
+        "leftlook2_s2048": lambda A: bc.cholesky_blocked(
+            A, base=512, precision="high", algo="leftlook2",
+            super_base=2048),
+        "leftlook2_s4096": lambda A: bc.cholesky_blocked(
+            A, base=512, precision="high", algo="leftlook2",
+            super_base=4096),
+        "leftlook2_s1024": lambda A: bc.cholesky_blocked(
+            A, base=512, precision="high", algo="leftlook2",
+            super_base=1024),
     }
     if len(sys.argv) > 2:  # comma-separated impl subset
         keep = sys.argv[2].split(",")

@@ -58,6 +58,22 @@ def test_leftlook_matches_xla_cholesky_f64(n, kind):
     assert float(jnp.abs(jnp.triu(L, 1)).max()) == 0.0
 
 
+@pytest.mark.parametrize("n", [512, 1100, 2048])
+@pytest.mark.parametrize("super_base", [512, 1024])
+def test_leftlook2_matches_xla_cholesky_f64(n, super_base):
+    # two-level superpanel skeleton (measured slower on chip — kept as
+    # a tested, documented variant; see _chol_leftlook2's verdict)
+    rng = np.random.default_rng(n + 2)
+    A = jnp.asarray(_spd(n, rng, "kernel"))
+    L_ref = jnp.linalg.cholesky(A)
+    L = cholesky_blocked(
+        A, base=256, algo="leftlook2", super_base=super_base
+    )
+    rel = jnp.linalg.norm(L - L_ref) / jnp.linalg.norm(L_ref)
+    assert float(rel) < 1e-8
+    assert float(jnp.abs(jnp.triu(L, 1)).max()) == 0.0
+
+
 @pytest.mark.parametrize("base", [128, 256, 512])
 def test_base_size_invariance(base):
     rng = np.random.default_rng(7)
