@@ -281,12 +281,23 @@ def fit_sgpr(
     y = jnp.asarray(y)
     z = jnp.asarray(z)
     n = y.shape[0]
-    m = z.shape[0]
     Kuu, C, bv, yty, trk, s2 = _moments(
         kernel, x, y, noise, z, block_size, jitter
     )
     if rank_tol is None:
         rank_tol = _default_rank_tol(y.dtype)
+    return _fit_from_moments(
+        kernel, z, noise, n, Kuu, C, bv, yty, trk, s2, rank_tol
+    )
+
+
+def _fit_from_moments(
+    kernel, z, noise, n, Kuu, C, bv, yty, trk, s2, rank_tol
+) -> SGPRPosterior:
+    """Posterior tail shared with parallel/sgpr_sharded.py (the sweep is
+    the only n-sized piece; everything from the moments on is (m, m))."""
+    m = z.shape[0]
+    dtype = C.dtype
     T = pinv_whitening(Kuu, 0.0, rank_tol)
     with jax.default_matmul_precision("highest"):
         AAT = jnp.matmul(
@@ -296,7 +307,7 @@ def fit_sgpr(
         lam, V = jnp.linalg.eigh(AAT)
     # clamp + floor: eigenvalues at the round-off scale of forming AAT
     # are noise, not signal (see module docstring)
-    floor = m * jnp.finfo(y.dtype).eps * jnp.maximum(lam[-1], 0.0)
+    floor = m * jnp.finfo(dtype).eps * jnp.maximum(lam[-1], 0.0)
     lam = jnp.where(lam > floor, lam, 0.0)
     w = jnp.matmul(T, bv, precision=_HI)
     c = (jnp.matmul(V.T, w, precision=_HI) / jnp.sqrt(1.0 + lam)) / s2
@@ -333,16 +344,21 @@ def elbo_sgpr(
     y = jnp.asarray(y)
     z = jnp.asarray(z)
     n = y.shape[0]
-    m = z.shape[0]
     Kuu, C, bv, yty, trk, s2 = _moments(
         kernel, x, y, noise, z, block_size, jitter
     )
     if rank_tol is None:
         rank_tol = _default_rank_tol(y.dtype)
+    return _elbo_from_moments(n, Kuu, C, bv, yty, trk, s2, rank_tol)
+
+
+def _elbo_from_moments(n, Kuu, C, bv, yty, trk, s2, rank_tol) -> jax.Array:
+    """Differentiable bound tail shared with parallel/sgpr_sharded.py."""
+    m = Kuu.shape[0]
     P = psd_pinv(Kuu, 0.0, rank_tol)
     with jax.default_matmul_precision("highest"):
         PC = jnp.matmul(P, C, precision=_HI) / s2  # (m, m)
-        eye = jnp.eye(m, dtype=y.dtype)
+        eye = jnp.eye(m, dtype=C.dtype)
         _, logdetB = jnp.linalg.slogdet(eye + PC)
         Pb = jnp.matmul(P, bv, precision=_HI)
         quad = jnp.dot(bv, jnp.linalg.solve(eye + PC, Pb)) \

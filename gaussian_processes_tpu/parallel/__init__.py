@@ -36,6 +36,11 @@ from gaussian_processes_tpu.parallel.multihost import (
     initialize_cluster,
     is_primary,
 )
+from gaussian_processes_tpu.parallel.sgpr_sharded import (
+    elbo_sgpr_sharded,
+    fit_sgpr_mle_sharded,
+    fit_sgpr_sharded,
+)
 from gaussian_processes_tpu.parallel.iterative_sharded import (
     fit_iterative_sharded,
     fit_mle_iterative_sharded,
@@ -70,6 +75,9 @@ __all__ = [
     "shard_put_nuts",
     "warmup_chees_sharded",
     "warmup_nuts_sharded",
+    "elbo_sgpr_sharded",
+    "fit_sgpr_mle_sharded",
+    "fit_sgpr_sharded",
     "fit_iterative_sharded",
     "fit_mle_iterative_sharded",
     "log_marginal_value_and_grad_iterative_sharded",
