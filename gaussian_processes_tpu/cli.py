@@ -193,6 +193,32 @@ def run_config(cfg) -> dict:
                    "mesh": str(dict(zip(mesh.axis_names, mesh.devices.shape))),
                    "block_size": block,
                    **roofline(cfg.data.n, wall, dtype)}
+    elif cfg.task == "sgpr":
+        # sparse inducing-point GP: one O(n m^2) MXU sweep + (m, m) tail
+        from gaussian_processes_tpu.models.sgpr import (
+            fit_sgpr, kmeans_inducing, predict_sgpr,
+        )
+
+        m_ind = min(1024, max(64, cfg.data.n // 1024))
+        z = kmeans_inducing(
+            jax.random.PRNGKey(cfg.data.seed), x, m_ind, iters=5
+        )
+        jax.block_until_ready(z)
+        fn = lambda k, xx, yy: fit_sgpr(
+            k, xx, yy, cfg.fit.noise, z, jitter=cfg.fit.jitter
+        )
+        with trace(cfg.profile_dir):
+            wall = timed(fn, kernel, x, y, warmup=1, iters=2)
+        post = fn(kernel, x, y)
+        mean, var = predict_sgpr(post, xo)
+        summary = {
+            "fit_wall_s": wall,
+            "elbo": float(post.log_marginal),
+            "trace_gap": float(post.trace_gap),
+            "m_inducing": m_ind,
+            "pred_finite": bool(np.all(np.isfinite(np.asarray(mean)))
+                                and np.all(np.asarray(var) > -1e-3)),
+        }
     else:
         raise ValueError(f"unknown task {cfg.task!r}")
 

@@ -73,12 +73,20 @@ class GPPosterior:
 
 
 def build_kxx(kernel: Kernel, x: jax.Array, noise, jitter=0.0) -> jax.Array:
-    """Noise-augmented kernel matrix K = K_f(x, x) + (s^2 + jitter) I."""
+    """Noise-augmented kernel matrix K = K_f(x, x) + (s^2 + jitter) I.
+
+    ``noise`` may be a scalar s or an (n,) vector of per-point noise
+    standard deviations (heteroscedastic observations — e.g. known
+    measurement errors).  fit/predict/lml handle both; the ANALYTIC
+    hyperparameter-gradient paths assume the scalar form (dK/ds = 2s I)
+    — with vector noise use autodiff on ``log_marginal_likelihood``.
+    """
     n = x.shape[0]
     K = kernel(x, x)
-    diag = jnp.square(jnp.asarray(noise, dtype=K.dtype)) + jnp.asarray(
-        jitter, dtype=K.dtype
-    )
+    noise = jnp.asarray(noise, dtype=K.dtype)
+    diag = jnp.square(noise) + jnp.asarray(jitter, dtype=K.dtype)
+    if noise.ndim == 1:
+        return K + jnp.diag(diag)
     return K + diag * jnp.eye(n, dtype=K.dtype)
 
 
@@ -255,6 +263,11 @@ def extend_posterior(
     (Point REMOVAL needs a Cholesky downdate — numerically delicate and
     not MXU-shaped; refit instead.)
     """
+    if jnp.asarray(post.noise).ndim != 0:
+        raise ValueError(
+            "extend_posterior supports scalar noise (per-point noise for "
+            "the appended block would be ambiguous); refit instead"
+        )
     x_new = jnp.atleast_1d(jnp.asarray(x_new))
     y_new = jnp.atleast_1d(jnp.asarray(y_new))
     k = y_new.shape[0]

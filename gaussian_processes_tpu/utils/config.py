@@ -136,6 +136,16 @@ CONFIGS = {
     # beyond the five: fully Bayesian hyperparameters on a 2^20-point
     # uniform grid via the Whittle (circulant-model) likelihood — pure
     # FFT leapfrogs, deterministic (benchmarks/demo_bayes1m.py)
+    # beyond the five: sparse SGPR (Titsias bound) at 2^20 SCATTERED
+    # points, m=1024 kmeans inducing centers — the no-structure,
+    # no-CG large-N regime (models/sgpr.py; ~0.17 s/fit on one chip)
+    "sparse1m_sgpr": RunConfig(
+        name="sparse1m_sgpr",
+        task="sgpr",
+        kernel=KernelConfig(h=1.0, w=0.006),
+        data=DataConfig(n=1 << 20, freq=50.0),
+        fit=FitConfig(jitter=0.0),
+    ),
     "grid1m_bayes_whittle": RunConfig(
         name="grid1m_bayes_whittle",
         task="bayes_grid",
