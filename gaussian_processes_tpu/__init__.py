@@ -72,6 +72,13 @@ from gaussian_processes_tpu.models.rff import (
     predict_rff,
     sample_rff_posterior,
 )
+from gaussian_processes_tpu.models.classify import (
+    LaplacePosterior,
+    fit_laplace,
+    fit_laplace_mle,
+    log_marginal_laplace,
+    predict_laplace,
+)
 from gaussian_processes_tpu.models.sgpr import (
     SGPRPosterior,
     elbo_sgpr,
@@ -133,6 +140,11 @@ __all__ = [
     "sample_rff_posterior",
     "sample_posterior_pathwise",
     "sample_posterior_pathwise_iterative",
+    "LaplacePosterior",
+    "fit_laplace",
+    "fit_laplace_mle",
+    "log_marginal_laplace",
+    "predict_laplace",
     "SGPRPosterior",
     "elbo_sgpr",
     "fit_sgpr",

@@ -1,0 +1,226 @@
+"""GP binary classification via the Laplace approximation.
+
+The classic non-Gaussian-likelihood companion to exact regression
+(Rasmussen & Williams ch. 3, algorithms 3.1/3.2 — the public textbook
+formulation, implemented fresh here in jittable fixed-iteration form):
+labels y in {-1, +1}, logistic likelihood p(y|f) = sigmoid(y f), latent
+posterior approximated at its mode by a Gaussian.
+
+TPU-first design decisions:
+
+* the Newton iteration uses the B = I + W^1/2 K W^1/2 parameterization
+  (numerically safe for any W >= 0) with a FIXED iteration count under
+  ``lax.scan`` — static shapes, one compiled program, vmappable over
+  hyperparameter candidates; convergence is monitored, not branched on
+  (the objective change per iteration is returned for inspection);
+* every factorization is one (n, n) Cholesky routed through the same
+  ``choose_cholesky`` MXU dispatch the regression path uses;
+* the approximate log marginal likelihood is exactly R&W eq. 3.32,
+  differentiable by plain autodiff through the whole Newton scan (the
+  iteration converges to a fixed point, and at the mode the implicit
+  dependence of f_hat on theta is second-order — we differentiate
+  through the unrolled scan, which is exact for the computed quantity),
+  so ``fit_mle(objective=...)``-style type-II MLE works unchanged.
+
+The reference has no classification at all (SURVEY.md §1) — this is
+beyond-parity capability using the same kernel/Cholesky substrate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.linalg import solve_triangular
+
+from gaussian_processes_tpu.models.base import Kernel
+from gaussian_processes_tpu.models.gp import _LOG_2PI  # noqa: F401 (parity)
+
+_HI = lax.Precision.HIGHEST
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LaplacePosterior:
+    """Laplace-approximate latent posterior at the mode."""
+
+    kernel: Kernel
+    x: jax.Array  # (n,) or (n, D)
+    y: jax.Array  # (n,) labels in {-1, +1}
+    f_hat: jax.Array  # (n,) latent mode
+    sqrt_w: jax.Array  # (n,) W^1/2 at the mode (logistic: pi(1-pi))
+    L_B: jax.Array  # (n, n) chol(I + W^1/2 K W^1/2)
+    grad_lik: jax.Array  # (n,) d log p(y|f) / df at the mode (= K^-1 f_hat)
+    log_marginal: jax.Array  # Laplace approx of log p(y | x, theta)
+    newton_deltas: jax.Array  # (iters,) objective change per Newton step
+
+
+def _log_sigmoid(z):
+    # stable log sigma(z) = -softplus(-z)
+    return -jnp.logaddexp(0.0, -z)
+
+
+def _lik_terms(f, y):
+    """(log p(y|f) summed, grad (n,), W (n,)) for the logistic link."""
+    z = y * f
+    ll = jnp.sum(_log_sigmoid(z))
+    pi = jax.nn.sigmoid(f)
+    t = 0.5 * (y + 1.0)  # labels mapped to {0, 1}
+    grad = t - pi
+    w = pi * (1.0 - pi)  # 0 <= W <= 1/4
+    return ll, grad, w
+
+
+def fit_laplace(
+    kernel: Kernel,
+    x,
+    y,
+    *,
+    num_iters: int = 20,
+    jitter: float = 1e-6,
+) -> LaplacePosterior:
+    """Find the latent mode by ``num_iters`` Newton steps (R&W alg. 3.1).
+
+    Each step solves (K^-1 + W)^-1 through the well-conditioned
+    B = I + W^1/2 K W^1/2 (eigenvalues in [1, 1 + n max(K)/4]); no
+    K^-1 is ever formed.  All shapes static; jit/vmap-safe.
+    """
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    n = y.shape[0]
+    dtype = y.dtype if jnp.issubdtype(y.dtype, jnp.floating) else jnp.float64
+    y = y.astype(dtype)
+
+    from gaussian_processes_tpu.ops.blocked_cholesky import choose_cholesky
+
+    chol = choose_cholesky(n)
+    with jax.default_matmul_precision("highest"):
+        K = kernel(x, x) + jitter * jnp.eye(n, dtype=dtype)
+
+    def obj(f, a):
+        # psi(f) = log p(y|f) - 1/2 a^T f  with a = K^-1 f
+        ll, _, _ = _lik_terms(f, y)
+        return ll - 0.5 * jnp.dot(a, f)
+
+    def newton_step(carry, _):
+        f, a, psi_prev = carry
+        _, grad, w = _lik_terms(f, y)
+        sw = jnp.sqrt(jnp.maximum(w, 0.0))
+        with jax.default_matmul_precision("highest"):
+            B = jnp.eye(n, dtype=dtype) + sw[:, None] * K * sw[None, :]
+            L = chol(B)
+            b = w * f + grad
+            Kb = jnp.matmul(K, b, precision=_HI)
+            v = solve_triangular(L, sw * Kb, lower=True)
+            v = solve_triangular(L.T, v, lower=False)
+            a_new = b - sw * v  # = (K^-1 + W)^-1 ... = K^-1 f_new
+            f_new = jnp.matmul(K, a_new, precision=_HI)
+        psi = obj(f_new, a_new)
+        return (f_new, a_new, psi), psi - psi_prev
+
+    f0 = jnp.zeros(n, dtype)
+    a0 = jnp.zeros(n, dtype)
+    (f_hat, a_hat, _), deltas = lax.scan(
+        newton_step, (f0, a0, jnp.asarray(-jnp.inf, dtype)), None,
+        length=num_iters,
+    )
+
+    ll, grad, w = _lik_terms(f_hat, y)
+    sw = jnp.sqrt(jnp.maximum(w, 0.0))
+    with jax.default_matmul_precision("highest"):
+        B = jnp.eye(n, dtype=dtype) + sw[:, None] * K * sw[None, :]
+        L_B = chol(B)
+    # R&W eq. 3.32: log q(y|X,theta) =
+    #   -1/2 a^T f_hat + log p(y|f_hat) - sum log diag chol(B)
+    lml = (
+        -0.5 * jnp.dot(a_hat, f_hat)
+        + ll
+        - jnp.sum(jnp.log(jnp.diagonal(L_B)))
+    )
+    return LaplacePosterior(
+        kernel=kernel, x=x, y=y, f_hat=f_hat, sqrt_w=sw, L_B=L_B,
+        grad_lik=grad, log_marginal=lml, newton_deltas=deltas,
+    )
+
+
+def predict_laplace(post: LaplacePosterior, xo):
+    """Latent predictive mean/var and class-+1 probability (R&W alg. 3.2).
+
+    mean = k(xo)^T grad_lik;  var = k(xo,xo) - ||L^-1 W^1/2 k(xo)||^2;
+    p(+1) by the probit approximation of the logistic integral
+    (MacKay's kappa: sigma(mean / sqrt(1 + pi var / 8)) — exact to ~1e-3,
+    the standard closed form for averaging a sigmoid over a Gaussian).
+    """
+    xo = jnp.asarray(xo)
+    with jax.default_matmul_precision("highest"):
+        Ks = post.kernel(post.x, xo)  # (n, q)
+        mean = jnp.matmul(Ks.T, post.grad_lik, precision=_HI)
+        v = solve_triangular(
+            post.L_B, post.sqrt_w[:, None] * Ks, lower=True
+        )
+        var = post.kernel.kdiag(xo).astype(mean.dtype) \
+            - jnp.sum(jnp.square(v), axis=0)
+    var = jnp.maximum(var, 0.0)
+    kappa = 1.0 / jnp.sqrt(1.0 + jnp.pi * var / 8.0)
+    prob = jax.nn.sigmoid(kappa * mean)
+    return mean, var, prob
+
+
+def log_marginal_laplace(
+    kernel: Kernel, x, y, *, num_iters: int = 20, jitter: float = 1e-6
+) -> jax.Array:
+    """The Laplace-approximate evidence alone — the differentiable
+    objective for type-II MLE over classification hyperparameters."""
+    return fit_laplace(
+        kernel, x, y, num_iters=num_iters, jitter=jitter
+    ).log_marginal
+
+
+def fit_laplace_mle(
+    kernel_template: Kernel,
+    x,
+    y,
+    *,
+    num_steps: int = 100,
+    learning_rate: float = 0.05,
+    newton_iters: int = 20,
+    jitter: float = 1e-6,
+):
+    """Type-II MLE over log kernel params by Adam on the Laplace
+    evidence (no noise parameter — the logistic link has none).
+    Returns (LaplacePosterior at the optimum, losses)."""
+    import optax
+
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    u0 = jnp.log(kernel_template.params)
+
+    def loss_fn(u):
+        kern = kernel_template.with_params(jnp.exp(u))
+        return -log_marginal_laplace(
+            kern, x, y, num_iters=newton_iters, jitter=jitter
+        )
+
+    opt = optax.adam(learning_rate)
+
+    def step(carry, _):
+        u, st, best_u, best_loss = carry
+        value, grad = jax.value_and_grad(loss_fn)(u)
+        updates, st = opt.update(grad, st, u)
+        u2 = optax.apply_updates(u, updates)
+        better = value < best_loss
+        best_u = jnp.where(better, u, best_u)
+        best_loss = jnp.where(better, value, best_loss)
+        return (u2, st, best_u, best_loss), value
+
+    init = (u0, opt.init(u0), u0, jnp.asarray(jnp.inf, u0.dtype))
+    (u, _, best_u, best_loss), losses = lax.scan(
+        step, init, None, length=num_steps
+    )
+    final = loss_fn(u)
+    best_u = jnp.where(final < best_loss, u, best_u)
+    kern = kernel_template.with_params(jnp.exp(best_u))
+    post = fit_laplace(kern, x, y, num_iters=newton_iters, jitter=jitter)
+    return post, losses
