@@ -28,6 +28,7 @@ from gaussian_processes_tpu.inference.gp_model import (
     make_log_posterior,
     make_log_posterior_iterative,
     make_log_posterior_whittle,
+    make_log_posterior_whittle_kron,
     n_hypers,
     pack,
     unpack,
@@ -56,6 +57,7 @@ __all__ = [
     "make_log_posterior",
     "make_log_posterior_iterative",
     "make_log_posterior_whittle",
+    "make_log_posterior_whittle_kron",
     "n_hypers",
     "pack",
     "unpack",

@@ -257,6 +257,70 @@ def make_log_posterior_whittle(
     return log_post
 
 
+def make_log_posterior_whittle_kron(
+    kernel_template,
+    op,
+    y,
+    *,
+    prior_mean=0.0,
+    prior_std=2.0,
+    jitter: float = 0.0,
+    center: bool = True,
+) -> Callable:
+    """Log posterior over u = log(h, w_1..w_D, noise) with the D-dim
+    torus Whittle likelihood (ops/kronecker.py::whittle_log_marginal_kron)
+    — fully Bayesian hyperparameters on Cartesian grids at n ~ 1e6.
+
+    ``center=True`` applies the same f32-resolution fix as the 1-D
+    builder (``make_log_posterior_whittle``): per-frequency-bin
+    differences against the prior-mean spectrum cancel the ~n-magnitude
+    absolute lml before the reduction, restoring f32 resolution where
+    |lml| exceeds 1/eps_f32 nats.  MCMC is invariant to the constant
+    shift.
+    """
+    from gaussian_processes_tpu.ops.kronecker import (
+        kron_circulant_spectrum,
+        kron_columns,
+        whittle_log_marginal_kron,
+    )
+
+    y = jnp.asarray(y)
+    mu = jnp.asarray(prior_mean)
+    sd = jnp.asarray(prior_std)
+
+    if not center:
+        def log_post(u):
+            kernel, noise = unpack(kernel_template, u)
+            lml = whittle_log_marginal_kron(kernel, op, y, noise, jitter)
+            return lml - 0.5 * jnp.sum(jnp.square((u - mu) / sd))
+
+        return log_post
+
+    n = op.n
+    dtype = y.dtype
+    u_c = jnp.broadcast_to(mu.astype(dtype),
+                           (kernel_template.n_params + 1,))
+    kern_c, noise_c = unpack(kernel_template, u_c)
+    lam0 = kron_circulant_spectrum(
+        kron_columns(kern_c, op), jnp.square(noise_c) + jitter
+    )
+    log_lam0 = jnp.log(lam0)
+    fy = jnp.fft.fftn(y.reshape(op.shape))
+    p_y = jnp.square(fy.real) + jnp.square(fy.imag)
+
+    def log_post(u):
+        kernel, noise = unpack(kernel_template, u)
+        lam = kron_circulant_spectrum(
+            kron_columns(kernel, op), jnp.square(noise) + jitter
+        )
+        dquad = jnp.sum(p_y * (lam0 - lam) / (lam * lam0)) / n
+        dlogdet = jnp.sum(jnp.log(lam) - log_lam0)
+        lml_centered = -0.5 * (dquad + dlogdet)
+        return lml_centered - 0.5 * jnp.sum(jnp.square((u - mu) / sd))
+
+    return log_post
+
+
 def init_positions(
     kernel_template: Kernel,
     noise,

@@ -255,3 +255,42 @@ def slq_logdet_kron_circulant(
     floor = jnp.asarray(shift, lam.dtype) / jnp.max(lam)
     quad = jnp.sum(w * jnp.log(jnp.maximum(evals, floor)), axis=-1)
     return jnp.sum(jnp.log(lam)) + jnp.mean(probe_norms * quad)
+
+
+def whittle_log_marginal_kron(
+    kernel: ARDGaussianKernel, op: KronOperator, y, noise,
+    jitter: float = 0.0,
+) -> jax.Array:
+    """EXACT log-density of the D-dim torus (Kronecker-circulant)
+    surrogate model — the Whittle likelihood on a Cartesian grid.
+
+    The D-dim generalization of ops/toeplitz.py::whittle_log_marginal:
+    K = (x)_d T_d is replaced by its Kronecker-Strang circulant
+    (x)_d C_d — a stationary GP on the D-torus — whose density the
+    D-dim DFT diagonalizes:
+
+        lml_W = -1/2 sum_k [ |Y^_k|^2 / (n lam_k) + log lam_k ]
+                - (n/2) log 2pi,   Y^ = fftn(y over the grid)
+
+    (the full complex FFT makes the conjugate-multiplicity bookkeeping
+    of the 1-D rfft version unnecessary: summing |Y^|^2/lam over ALL n
+    bins is exactly y^T (C + s^2 I)^-1 y for real y).  O(n log n),
+    deterministic, plain autodiff through the per-dimension kernel
+    columns — the fully-Bayesian objective for D-dim grids at n ~ 1e6
+    where stochastic SLQ surrogates lose f32 honesty (STATUS.md round-2
+    session 3).
+
+    Same boundary semantics as 1-D: each dimension's ends are treated
+    as neighbors; use endpoint-exclusive grids and check seam
+    compatibility (gates in tests/test_kronecker.py).
+    """
+    y = jnp.asarray(y)
+    n = op.n
+    cols = kron_columns(kernel, op)
+    shift = jnp.square(jnp.asarray(noise)) + jitter
+    lam = kron_circulant_spectrum(cols, shift)  # grid-shaped, clamped
+    fy = jnp.fft.fftn(y.reshape(op.shape))
+    p_y = jnp.square(fy.real) + jnp.square(fy.imag)
+    quad = jnp.sum(p_y / lam) / n
+    logdet = jnp.sum(jnp.log(lam))
+    return -0.5 * quad - 0.5 * logdet - 0.5 * n * jnp.log(2.0 * jnp.pi)
