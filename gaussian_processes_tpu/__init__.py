@@ -74,6 +74,8 @@ from gaussian_processes_tpu.models.rff import (
 )
 from gaussian_processes_tpu.models.classify import (
     LaplacePosterior,
+    LogisticLikelihood,
+    PoissonLikelihood,
     fit_laplace,
     fit_laplace_mle,
     log_marginal_laplace,
@@ -141,6 +143,8 @@ __all__ = [
     "sample_posterior_pathwise",
     "sample_posterior_pathwise_iterative",
     "LaplacePosterior",
+    "LogisticLikelihood",
+    "PoissonLikelihood",
     "fit_laplace",
     "fit_laplace_mle",
     "log_marginal_laplace",

@@ -1,10 +1,21 @@
-"""GP binary classification via the Laplace approximation.
+"""Non-Gaussian observation models via the Laplace approximation.
 
-The classic non-Gaussian-likelihood companion to exact regression
-(Rasmussen & Williams ch. 3, algorithms 3.1/3.2 — the public textbook
-formulation, implemented fresh here in jittable fixed-iteration form):
-labels y in {-1, +1}, logistic likelihood p(y|f) = sigmoid(y f), latent
-posterior approximated at its mode by a Gaussian.
+The classic companion to exact regression (Rasmussen & Williams ch. 3,
+algorithms 3.1/3.2 — the public textbook formulation, implemented fresh
+here in jittable fixed-iteration form): the latent-GP posterior is
+approximated by a Gaussian at its Newton mode.  Two log-concave
+likelihoods ship:
+
+* ``LogisticLikelihood`` — binary classification, labels in {-1, +1},
+  p(y|f) = sigmoid(y f); predictive class probabilities by MacKay's
+  probit approximation.
+* ``PoissonLikelihood(binsize)`` — count regression / log-Gaussian Cox
+  process with log link, y | f ~ Poisson(binsize * e^f); predictive
+  rate E[b e^f] = b exp(mu + var/2) exactly under the Gaussian
+  approximation.
+
+Any likelihood exposing ``terms(f, y) -> (sum log p, d/df, W=-d2/df2)``
+with W >= 0 (log-concave) plugs in unchanged.
 
 TPU-first design decisions:
 
@@ -47,8 +58,9 @@ class LaplacePosterior:
     """Laplace-approximate latent posterior at the mode."""
 
     kernel: Kernel
+    likelihood: object  # LogisticLikelihood / PoissonLikelihood / custom
     x: jax.Array  # (n,) or (n, D)
-    y: jax.Array  # (n,) labels in {-1, +1}
+    y: jax.Array  # (n,) labels {-1,+1} (logistic) or counts (poisson)
     f_hat: jax.Array  # (n,) latent mode
     sqrt_w: jax.Array  # (n,) W^1/2 at the mode (logistic: pi(1-pi))
     L_B: jax.Array  # (n, n) chol(I + W^1/2 K W^1/2)
@@ -62,15 +74,59 @@ def _log_sigmoid(z):
     return -jnp.logaddexp(0.0, -z)
 
 
-def _lik_terms(f, y):
-    """(log p(y|f) summed, grad (n,), W (n,)) for the logistic link."""
-    z = y * f
-    ll = jnp.sum(_log_sigmoid(z))
-    pi = jax.nn.sigmoid(f)
-    t = 0.5 * (y + 1.0)  # labels mapped to {0, 1}
-    grad = t - pi
-    w = pi * (1.0 - pi)  # 0 <= W <= 1/4
-    return ll, grad, w
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class LogisticLikelihood:
+    """Binary labels in {-1, +1}, p(y|f) = sigmoid(y f)."""
+
+    def terms(self, f, y):
+        """(sum log p(y|f), grad (n,), W (n,)) at latent f."""
+        ll = jnp.sum(_log_sigmoid(y * f))
+        pi = jax.nn.sigmoid(f)
+        t = 0.5 * (y + 1.0)  # labels mapped to {0, 1}
+        grad = t - pi
+        w = pi * (1.0 - pi)  # 0 <= W <= 1/4
+        return ll, grad, w
+
+    def predict(self, mean, var):
+        """p(y=+1) averaged over the latent Gaussian (MacKay's probit
+        approximation of the logistic integral, exact to ~1e-3)."""
+        kappa = 1.0 / jnp.sqrt(1.0 + jnp.pi * var / 8.0)
+        return jax.nn.sigmoid(kappa * mean)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PoissonLikelihood:
+    """Counts y >= 0 with log link: y | f ~ Poisson(binsize * e^f).
+
+    The discretized log-Gaussian Cox process: ``binsize`` is the bin
+    measure (exposure).  Log-concave in f (W = binsize * e^f > 0), so
+    the same Newton iteration applies.
+    """
+
+    binsize: jax.Array = 1.0
+
+    def terms(self, f, y):
+        b = jnp.asarray(self.binsize, f.dtype)
+        rate = b * jnp.exp(f)
+        # sum log p = sum [ y (f + log b) - rate - log y! ]; the log y!
+        # term is f-independent but kept so the evidence is a real
+        # log-probability (comparable across hyperparameters AND models)
+        ll = jnp.sum(
+            y * (f + jnp.log(b)) - rate - jax.lax.lgamma(y + 1.0)
+        )
+        grad = y - rate
+        return ll, grad, rate
+
+    def predict(self, mean, var):
+        """Posterior-expected rate E[b e^f] = b exp(mean + var/2)."""
+        b = jnp.asarray(self.binsize, mean.dtype)
+        return b * jnp.exp(mean + 0.5 * var)
+
+
+def _lik_terms(f, y, likelihood=LogisticLikelihood()):
+    return likelihood.terms(f, y)
 
 
 def fit_laplace(
@@ -78,6 +134,7 @@ def fit_laplace(
     x,
     y,
     *,
+    likelihood=None,
     num_iters: int = 20,
     jitter: float = 1e-6,
 ) -> LaplacePosterior:
@@ -92,6 +149,7 @@ def fit_laplace(
     n = y.shape[0]
     dtype = y.dtype if jnp.issubdtype(y.dtype, jnp.floating) else jnp.float64
     y = y.astype(dtype)
+    lik = LogisticLikelihood() if likelihood is None else likelihood
 
     from gaussian_processes_tpu.ops.blocked_cholesky import choose_cholesky
 
@@ -101,12 +159,12 @@ def fit_laplace(
 
     def obj(f, a):
         # psi(f) = log p(y|f) - 1/2 a^T f  with a = K^-1 f
-        ll, _, _ = _lik_terms(f, y)
+        ll, _, _ = lik.terms(f, y)
         return ll - 0.5 * jnp.dot(a, f)
 
     def newton_step(carry, _):
         f, a, psi_prev = carry
-        _, grad, w = _lik_terms(f, y)
+        _, grad, w = lik.terms(f, y)
         sw = jnp.sqrt(jnp.maximum(w, 0.0))
         with jax.default_matmul_precision("highest"):
             B = jnp.eye(n, dtype=dtype) + sw[:, None] * K * sw[None, :]
@@ -127,7 +185,7 @@ def fit_laplace(
         length=num_iters,
     )
 
-    ll, grad, w = _lik_terms(f_hat, y)
+    ll, grad, w = lik.terms(f_hat, y)
     sw = jnp.sqrt(jnp.maximum(w, 0.0))
     with jax.default_matmul_precision("highest"):
         B = jnp.eye(n, dtype=dtype) + sw[:, None] * K * sw[None, :]
@@ -140,18 +198,17 @@ def fit_laplace(
         - jnp.sum(jnp.log(jnp.diagonal(L_B)))
     )
     return LaplacePosterior(
-        kernel=kernel, x=x, y=y, f_hat=f_hat, sqrt_w=sw, L_B=L_B,
-        grad_lik=grad, log_marginal=lml, newton_deltas=deltas,
+        kernel=kernel, likelihood=lik, x=x, y=y, f_hat=f_hat, sqrt_w=sw,
+        L_B=L_B, grad_lik=grad, log_marginal=lml, newton_deltas=deltas,
     )
 
 
 def predict_laplace(post: LaplacePosterior, xo):
-    """Latent predictive mean/var and class-+1 probability (R&W alg. 3.2).
+    """Latent predictive mean/var plus the likelihood's predictive
+    transform (R&W alg. 3.2): class-+1 probability for logistic,
+    expected rate for Poisson.
 
-    mean = k(xo)^T grad_lik;  var = k(xo,xo) - ||L^-1 W^1/2 k(xo)||^2;
-    p(+1) by the probit approximation of the logistic integral
-    (MacKay's kappa: sigma(mean / sqrt(1 + pi var / 8)) — exact to ~1e-3,
-    the standard closed form for averaging a sigmoid over a Gaussian).
+    mean = k(xo)^T grad_lik;  var = k(xo,xo) - ||L^-1 W^1/2 k(xo)||^2.
     """
     xo = jnp.asarray(xo)
     with jax.default_matmul_precision("highest"):
@@ -163,18 +220,18 @@ def predict_laplace(post: LaplacePosterior, xo):
         var = post.kernel.kdiag(xo).astype(mean.dtype) \
             - jnp.sum(jnp.square(v), axis=0)
     var = jnp.maximum(var, 0.0)
-    kappa = 1.0 / jnp.sqrt(1.0 + jnp.pi * var / 8.0)
-    prob = jax.nn.sigmoid(kappa * mean)
-    return mean, var, prob
+    return mean, var, post.likelihood.predict(mean, var)
 
 
 def log_marginal_laplace(
-    kernel: Kernel, x, y, *, num_iters: int = 20, jitter: float = 1e-6
+    kernel: Kernel, x, y, *, likelihood=None, num_iters: int = 20,
+    jitter: float = 1e-6
 ) -> jax.Array:
     """The Laplace-approximate evidence alone — the differentiable
-    objective for type-II MLE over classification hyperparameters."""
+    objective for type-II MLE over the latent GP's hyperparameters."""
     return fit_laplace(
-        kernel, x, y, num_iters=num_iters, jitter=jitter
+        kernel, x, y, likelihood=likelihood, num_iters=num_iters,
+        jitter=jitter,
     ).log_marginal
 
 
@@ -183,6 +240,7 @@ def fit_laplace_mle(
     x,
     y,
     *,
+    likelihood=None,
     num_steps: int = 100,
     learning_rate: float = 0.05,
     newton_iters: int = 20,
@@ -200,7 +258,8 @@ def fit_laplace_mle(
     def loss_fn(u):
         kern = kernel_template.with_params(jnp.exp(u))
         return -log_marginal_laplace(
-            kern, x, y, num_iters=newton_iters, jitter=jitter
+            kern, x, y, likelihood=likelihood, num_iters=newton_iters,
+            jitter=jitter,
         )
 
     opt = optax.adam(learning_rate)
@@ -222,5 +281,8 @@ def fit_laplace_mle(
     final = loss_fn(u)
     best_u = jnp.where(final < best_loss, u, best_u)
     kern = kernel_template.with_params(jnp.exp(best_u))
-    post = fit_laplace(kern, x, y, num_iters=newton_iters, jitter=jitter)
+    post = fit_laplace(
+        kern, x, y, likelihood=likelihood, num_iters=newton_iters,
+        jitter=jitter,
+    )
     return post, losses

@@ -128,3 +128,87 @@ def test_jit_and_vmap_over_hyperparams():
     ws = jnp.asarray([0.3, 0.6, 1.2])
     vals = jax.vmap(lml)(ws)
     assert vals.shape == (3,) and bool(jnp.all(jnp.isfinite(vals)))
+
+
+# ---------------------------------------------------------------------------
+# Poisson likelihood (log-Gaussian Cox)
+
+
+def test_poisson_evidence_matches_quadrature_n2():
+    from gaussian_processes_tpu.models.classify import PoissonLikelihood
+    from scipy.special import gammaln
+
+    x = jnp.asarray([-0.4, 0.6])
+    y = jnp.asarray([3.0, 0.0])
+    k = GaussianKernel(0.9, 0.7)
+    b = 2.0
+    K = np.asarray(k(x, x)) + 1e-6 * np.eye(2)
+    g = np.linspace(-8, 6, 501)
+    F1, F2 = np.meshgrid(g, g, indexing="ij")
+    F = np.stack([F1.ravel(), F2.ravel()], 1)
+    Kinv = np.linalg.inv(K)
+    logN = (
+        -0.5 * np.einsum("nd,de,ne->n", F, Kinv, F)
+        - 0.5 * np.log((2 * np.pi) ** 2 * np.linalg.det(K))
+    )
+    yv = np.asarray(y)
+    loglik = (
+        (yv[None, :] * (F + np.log(b)) - b * np.exp(F)
+         - gammaln(yv + 1.0)[None, :]).sum(1)
+    )
+    dz = (g[1] - g[0]) ** 2
+    exact = np.log(np.sum(np.exp(logN + loglik)) * dz)
+    lap = float(log_marginal_laplace(
+        k, x, y, likelihood=PoissonLikelihood(binsize=b)
+    ))
+    assert abs(lap - exact) < 0.05, (lap, exact)
+
+
+def test_poisson_recovers_latent_rate():
+    from gaussian_processes_tpu.models.classify import (
+        PoissonLikelihood, fit_laplace, predict_laplace,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 200
+    x = jnp.linspace(-2.0, 2.0, n)
+    f_true = jnp.sin(2.0 * x) + 0.5
+    b = 5.0
+    y = jnp.asarray(
+        rng.poisson(b * np.exp(np.asarray(f_true))).astype(np.float64)
+    )
+    lik = PoissonLikelihood(binsize=b)
+    post = fit_laplace(GaussianKernel(1.0, 0.6), x, y, likelihood=lik)
+    assert abs(float(post.newton_deltas[-1])) < 1e-8
+    mean, var, rate = predict_laplace(post, x)
+    # latent recovered within ~3 posterior sds on average
+    err = np.abs(np.asarray(mean - f_true))
+    assert float(np.mean(err)) < 0.25, float(np.mean(err))
+    # predicted rate correlates strongly with the true rate
+    r_true = b * np.exp(np.asarray(f_true))
+    corr = np.corrcoef(np.asarray(rate), r_true)[0, 1]
+    assert corr > 0.95, corr
+    assert np.all(np.asarray(rate) > 0)
+
+
+def test_poisson_mle_improves_and_beats_bad_hypers():
+    from gaussian_processes_tpu.models.classify import (
+        PoissonLikelihood, fit_laplace_mle,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 120
+    x = jnp.linspace(-2.0, 2.0, n)
+    f_true = jnp.sin(2.0 * x)
+    y = jnp.asarray(
+        rng.poisson(3.0 * np.exp(np.asarray(f_true))).astype(np.float64)
+    )
+    lik = PoissonLikelihood(binsize=3.0)
+    post, losses = fit_laplace_mle(
+        GaussianKernel(0.4, 2.5), x, y, likelihood=lik, num_steps=60,
+    )
+    assert float(losses[-1]) < float(losses[0])
+    bad = float(log_marginal_laplace(
+        GaussianKernel(0.4, 2.5), x, y, likelihood=lik
+    ))
+    assert float(post.log_marginal) > bad
