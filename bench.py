@@ -291,6 +291,36 @@ def bench_whittle():
            "value": round(max(med - floor, 0.0), 5), "unit": "s",
            "vs_baseline": None})
 
+    # 2-D torus variant: the per-leapfrog cost of fully Bayesian
+    # hyperparameters on a 1024x1024 grid (D-dim Whittle, one fftn)
+    from gaussian_processes_tpu.inference import (
+        make_log_posterior_whittle_kron,
+    )
+    from gaussian_processes_tpu.models.ard import ARDGaussianKernel
+    from gaussian_processes_tpu.ops.kronecker import KronOperator
+
+    npd = int(os.environ.get("BENCH_WHITTLE2D_N", 1024))
+    g1 = jnp.linspace(0.0, 1.0, npd, endpoint=False, dtype=DTYPE)
+    op = KronOperator(axes=(g1, g1))
+    G1, G2 = np.meshgrid(np.arange(npd) / npd, np.arange(npd) / npd,
+                         indexing="ij")
+    y2 = (np.sin(2 * np.pi * 20 * G1) * np.cos(2 * np.pi * 13 * G2)
+          + 0.1 * rng.standard_normal((npd, npd))).reshape(-1).astype(DTYPE)
+    k2 = ARDGaussianKernel(jnp.asarray(1.0, DTYPE),
+                           jnp.asarray([0.01, 0.01], DTYPE))
+    lp2 = make_log_posterior_whittle_kron(
+        k2, op, jnp.asarray(y2), prior_std=1.0, jitter=1e-6
+    )
+    vg2 = jax.jit(jax.value_and_grad(lp2))
+    u2 = jnp.log(jnp.asarray([1.0, 0.01, 0.01, 0.1], DTYPE))
+    inputs2 = [u2 + np.asarray(rng.random() * 1e-4, DTYPE) for _ in range(4)]
+    med2, out2 = _probe_walls(jax, vg2, inputs2)
+    _, g2v = out2
+    assert bool(jnp.all(jnp.isfinite(g2v))), "non-finite 2d whittle grad"
+    _emit({"metric": f"whittle2d_logpost_vg_n{npd * npd}_{DTYPE}_wall",
+           "value": round(max(med2 - floor, 0.0), 5), "unit": "s",
+           "vs_baseline": None})
+
 
 def bench_ski():
     """SKI/KISS-GP fit on SCATTERED inputs (no grid) at config-#4 N and 4x.
