@@ -122,7 +122,7 @@ def bench_fit():
     floor = _dispatch_floor(jax, jnp)
     med, out = _probe_walls(jax, f, inputs)
     assert bool(jnp.isfinite(out)), "non-finite log marginal"
-    wall = max(med - floor, 0.0)
+    wall = max(med - floor, 1e-9)
 
     vs = None
     base_path = os.path.join(os.path.dirname(__file__), "benchmarks",

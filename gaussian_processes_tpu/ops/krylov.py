@@ -339,28 +339,34 @@ def pcg(
         better = rn_new < rn_best
         x_best = jnp.where(better[None, :], x, x_best)
         rn_best = jnp.where(better, rn_new, rn_best)
-        return (x, res, p, rz_new, x_best, rn_best), (alpha, beta)
+        return (x, res, p, rz_new, x_best, rn_best), (alpha, beta, active)
 
     init = (x0, r0, p0, rz0, x0, jnp.sqrt(colsum(r0 * r0)))
     if early_exit:
+        # the loop condition consumes the PREVIOUS iteration's active
+        # mask (freezing is monotone — a frozen column's state stops
+        # changing — so last-iteration active is exact).  Recomputing
+        # activity from rn alone here used to miss the pAp<=0 /
+        # non-finite BREAKDOWN freezes: broken-down columns kept
+        # rn > tol forever and the "early exit" burned the full
+        # num_iters budget of frozen no-op matvecs (round-2 review).
+        r = rhs.shape[1]
+
         def cond(state):
-            i, (x, res, p, rz, x_best, rn_best) = state
-            rn = jnp.sqrt(colsum(res * res))
-            any_active = jnp.any(
-                (rn / b_norm > tol) & (rn < 1e2 * rn_best + 1e-30)
-            )
-            return (i < num_iters) & any_active
+            i, _, active_prev = state
+            return (i < num_iters) & jnp.any(active_prev)
 
         def wbody(state):
-            i, carry = state
-            carry, _ = body(carry, None)
-            return i + 1, carry
+            i, carry, _ = state
+            carry, (_, _, active) = body(carry, None)
+            return i + 1, carry, active
 
-        _, (x, res, _, _, x_best, rn_best) = lax.while_loop(
-            cond, wbody, (jnp.zeros((), jnp.int32), init)
+        _, (x, res, _, _, x_best, rn_best), _ = lax.while_loop(
+            cond, wbody,
+            (jnp.zeros((), jnp.int32), init, jnp.ones((r,), bool)),
         )
         return x_best, rn_best / b_norm
-    (x, res, _, _, x_best, rn_best), (alphas, betas) = lax.scan(
+    (x, res, _, _, x_best, rn_best), (alphas, betas, _) = lax.scan(
         body, init, None, length=num_iters
     )
     if return_tridiag:

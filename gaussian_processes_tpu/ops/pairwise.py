@@ -600,8 +600,13 @@ def kernel_jacvec_fused(
     if x.ndim != 1:
         raise TypeError("fused jacvec is 1-D-input only")
     cls = type(kernel)
-    if not getattr(cls, "supports_tiled", False):
-        raise TypeError(f"{cls.__name__} has no tiled jac_fn form")
+    # `is True` matters: composite kernels define supports_tiled as a
+    # PROPERTY, and the property object read off the class is truthy —
+    # which used to route Sum/Product kernels here and crash on their
+    # non-static param_names (found in round-2 review).  The fused
+    # jacvec needs the leaf-kernel static elementwise form.
+    if getattr(cls, "supports_tiled", False) is not True:
+        raise TypeError(f"{cls.__name__} has no static tiled jac_fn form")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n = x.shape[0]
@@ -617,8 +622,14 @@ def kernel_jacvec_fused(
 
 
 def supports_fused_jacvec(kernel: Kernel, x) -> bool:
+    # class-level literal True only: composites expose supports_tiled as
+    # a property (truthy as a class attribute even when instances say
+    # False) but have no static jac_fn/param_names for _fused_jacvec
     x = jnp.asarray(x)
-    return x.ndim == 1 and getattr(type(kernel), "supports_tiled", False)
+    return (
+        x.ndim == 1
+        and getattr(type(kernel), "supports_tiled", False) is True
+    )
 
 
 def supports_fused_matvec(kernel: Kernel, x) -> bool:

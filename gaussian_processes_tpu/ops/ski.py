@@ -128,9 +128,16 @@ def interpolation_weights(x, grid: jax.Array) -> SKIOperator:
     m = grid.shape[0]
     dx = grid[1] - grid[0]
     pos = (x - grid[0]) / dx
+    # clamp the CONTINUOUS position, not just the stencil base: an input
+    # outside the grid range used to keep its unclamped fractional
+    # offset t >> 1, where the cubic weights blow up polynomially
+    # (measured: weights ~1e4 one grid-length out) — silent prediction
+    # explosions for extrapolating queries.  Clamping pos snaps
+    # out-of-range points to the grid edge (constant extrapolation of
+    # the interpolant), the honest behavior for a surrogate whose
+    # inducing grid is the model; margins make this a no-op in range.
+    pos = jnp.clip(pos, 1.0, m - 2.0)
     base = jnp.floor(pos).astype(jnp.int32)
-    # clamp so idx..idx+3 always index the grid (margins make this a no-op
-    # except for float round-off at the extremes)
     base = jnp.clip(base, 1, m - 3)
     t = pos - base.astype(pos.dtype)
     w = _cubic_weights(t).astype(x.dtype)

@@ -80,8 +80,13 @@ def _pivoted_cholesky_sharded(
 
     d0 = kernel.kdiag(x_loc).astype(dtype)  # (n/D,)
     L0 = jnp.zeros((n_loc, rank), dtype)
+    # 1e3*eps, matching ops/krylov.py::pivoted_cholesky: the 10*eps
+    # floor was measured to admit ~100 junk clamped-pivot columns on
+    # TPU f32 at n~1e5 (poisoned Woodbury preconditioner, CG 0.65 vs
+    # 6e-4) — the sharded copy must freeze at the same rank or sharded
+    # and unsharded results diverge
     floor = lax.pmax(jnp.max(d0), axis) * jnp.asarray(
-        10 * jnp.finfo(dtype).eps, dtype
+        1e3 * jnp.finfo(dtype).eps, dtype
     )
 
     def body(j, carry):

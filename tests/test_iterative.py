@@ -315,3 +315,64 @@ def test_iterative_gradient_preconditioned_matches_analytic():
     denom = np.maximum(np.abs(np.asarray(g_a)), 1.0)
     rel = np.abs(np.asarray(g_p) - np.asarray(g_a)) / denom
     assert np.all(rel < 0.2), (g_p, g_a)
+
+
+# ---------------------------------------------------------------------------
+# round-2 review regressions
+
+
+def test_fused_jacvec_gate_rejects_composites():
+    # composites define supports_tiled as a PROPERTY; reading it off the
+    # class is truthy, which used to route them into the fused jacvec
+    # and crash on non-static param_names (review finding, confirmed)
+    from gaussian_processes_tpu.models.composite import SumKernel
+    from gaussian_processes_tpu.models.gaussian import GaussianKernel
+    from gaussian_processes_tpu.models.periodic import PeriodicKernel
+    from gaussian_processes_tpu.ops import pairwise
+
+    x = jnp.linspace(-1.0, 1.0, 32)
+    u = jnp.ones((32, 2))
+    ksum = SumKernel(GaussianKernel(1.0, 0.5), PeriodicKernel(1.0, 0.5, 1.0))
+    assert pairwise.supports_fused_jacvec(GaussianKernel(1.0, 0.5), x)
+    assert not pairwise.supports_fused_jacvec(ksum, x)
+    with pytest.raises(TypeError):
+        pairwise.kernel_jacvec_fused(ksum, x, u)
+    # and the dispatching caller runs the composite via the strip path
+    from gaussian_processes_tpu.models.iterative_gp import (
+        log_marginal_value_and_grad_iterative,
+    )
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(np.sin(2 * np.asarray(x)) + 0.1 * rng.standard_normal(32))
+    val, g = log_marginal_value_and_grad_iterative(
+        ksum, x, y, 0.2, jax.random.key(0), num_probes=4, num_iters=24,
+    )
+    assert np.isfinite(float(val)) and np.all(np.isfinite(np.asarray(g)))
+
+
+def test_pcg_early_exit_terminates_on_breakdown():
+    # an indefinite operator breaks CG down (pAp < 0) on every column;
+    # the early-exit loop must terminate on the breakdown freeze rather
+    # than burning the full budget, and must match the fixed-length scan
+    from gaussian_processes_tpu.ops import krylov
+
+    rng = np.random.default_rng(1)
+    A = jnp.asarray(np.diag(np.concatenate([np.ones(10), -np.ones(10)])))
+    rhs = jnp.asarray(rng.standard_normal((20, 3)))
+    pre = lambda v: v
+    mv = lambda v: A @ v
+    x_scan, rn_scan = krylov.pcg(mv, pre, rhs, num_iters=50, tol=1e-10)
+    x_ee, rn_ee = krylov.pcg(
+        mv, pre, rhs, num_iters=50, tol=1e-10, early_exit=True
+    )
+    np.testing.assert_allclose(np.asarray(x_ee), np.asarray(x_scan),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(rn_ee), np.asarray(rn_scan),
+                               atol=1e-12)
+    # healthy SPD case still solves identically with early exit
+    Q = rng.standard_normal((20, 20))
+    A2 = jnp.asarray(Q @ Q.T / 20 + np.eye(20))
+    mv2 = lambda v: A2 @ v
+    x2s, _ = krylov.pcg(mv2, pre, rhs, num_iters=60, tol=1e-12)
+    x2e, _ = krylov.pcg(mv2, pre, rhs, num_iters=60, tol=1e-12,
+                        early_exit=True)
+    np.testing.assert_allclose(np.asarray(x2e), np.asarray(x2s), atol=1e-12)

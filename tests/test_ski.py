@@ -329,3 +329,17 @@ def test_ski_kron_fast_mean_matches_strip_mean():
     fast = predict_mean_iterative(post, xo, structure=op)
     strip = predict_mean_iterative(post, xo)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(strip), atol=2e-3)
+
+
+def test_out_of_range_queries_do_not_explode():
+    # extrapolating queries used to keep an unclamped fractional offset
+    # t >> 1 where the cubic weights grow polynomially (measured ~1e4
+    # one grid-length out); clamped positions snap to the grid edge
+    from gaussian_processes_tpu.ops import ski
+
+    grid = ski.make_grid(jnp.asarray([0.0, 1.0]), 64)
+    op_in = ski.interpolation_weights(jnp.asarray([2.0, -1.5]), grid)
+    # weights stay a partition of unity with bounded magnitude
+    np.testing.assert_allclose(np.asarray(op_in.w.sum(axis=1)), 1.0,
+                               atol=1e-6)
+    assert float(jnp.max(jnp.abs(op_in.w))) < 2.0
