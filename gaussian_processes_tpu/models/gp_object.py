@@ -200,6 +200,13 @@ class GP:
         g = self.dloglh_dtheta
         return self.lh * (jnp.outer(g, g) + self.d2loglh_dtheta2)
 
+    @memoprop
+    def loo(self):
+        """Leave-one-out predictives (mu, var, log pseudo-likelihood)
+        from the cached factorization (models.gp.loo_predictive) —
+        memoized and invalidated with the rest of the cache."""
+        return _core.loo_predictive(self._posterior)
+
     # -- cross-covariances + prediction ---------------------------------------
 
     def Kxoxo(self, xo):

@@ -139,3 +139,22 @@ def test_periodic_kernel_gp():
     assert gp.params.shape == (4,)
     assert np.asarray(gp.dloglh_dtheta).shape == (4,)
     assert np.asarray(gp.d2lh_dtheta2).shape == (4, 4)
+
+
+def test_loo_memoized_and_invalidated():
+    import numpy as np
+    from gaussian_processes_tpu.models import gp as _core
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(np.sort(rng.uniform(-2, 2, 40)))
+    y = jnp.sin(2 * x)
+    gp = GP(GaussianKernel(1.0, 0.5), x, y, s=0.1)
+    mu, var, lpl = gp.loo
+    post = _core.fit(GaussianKernel(1.0, 0.5), x, y, 0.1)
+    mu_ref, var_ref, lpl_ref = _core.loo_predictive(post)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_ref))
+    assert "loo" in gp._memo
+    gp.params = (1.2, 0.6, 0.1)
+    assert "loo" not in gp._memo
+    mu2, _, lpl2 = gp.loo
+    assert float(lpl2) != float(lpl)
