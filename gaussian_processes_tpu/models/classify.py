@@ -64,7 +64,15 @@ class LaplacePosterior:
     f_hat: jax.Array  # (n,) latent mode
     sqrt_w: jax.Array  # (n,) W^1/2 at the mode (logistic: pi(1-pi))
     L_B: jax.Array  # (n, n) chol(I + W^1/2 K W^1/2)
-    grad_lik: jax.Array  # (n,) d log p(y|f) / df at the mode (= K^-1 f_hat)
+    #: K^-1 f_hat as carried by the Newton recurrence — the STABLE
+    #: representer weights for prediction.  Mathematically equal to
+    #: grad_lik at the exact mode, but numerically far better: the raw
+    #: likelihood gradient's entries are O(residual)-sized and their
+    #: smoothing to the O(1) predictive mean relies on a cancellation
+    #: that f32 mode error destroys (measured on chip: predictions
+    #: +-100 via grad_lik vs correct via a_hat at n=4096 Poisson).
+    a_hat: jax.Array
+    grad_lik: jax.Array  # (n,) d log p(y|f) / df at the mode
     log_marginal: jax.Array  # Laplace approx of log p(y | x, theta)
     newton_deltas: jax.Array  # (iters,) objective change per Newton step
 
@@ -175,8 +183,27 @@ def fit_laplace(
             v = solve_triangular(L.T, v, lower=False)
             a_new = b - sw * v  # = (K^-1 + W)^-1 ... = K^-1 f_new
             f_new = jnp.matmul(K, a_new, precision=_HI)
-        psi = obj(f_new, a_new)
-        return (f_new, a_new, psi), psi - psi_prev
+        # damped step: a fixed backtracking ladder picks the best-psi
+        # candidate (including staying put), making the iteration
+        # MONOTONE in psi.  Why (measured on chip): undamped Newton with
+        # the Poisson link diverged at n=4096 f32 on TPU — the blocked
+        # Cholesky's f32 round-off injects O(1e-1) noise into f that
+        # e^f amplifies each step (latent wandered to |f| ~ 70), while
+        # the same code on CPU f32 converged.  The interpolation
+        # a_t = (1-t) a + t a_new stays consistent with f_t because
+        # a = K^-1 f is linear in f.
+        psi_floor = jnp.where(jnp.isfinite(psi_prev), psi_prev,
+                              jnp.asarray(-jnp.inf, dtype))
+        best_f, best_a, best_psi = f, a, psi_floor
+        for t in (1.0, 0.5, 0.25):
+            f_t = f + t * (f_new - f)
+            a_t = a + t * (a_new - a)
+            psi_t = obj(f_t, a_t)
+            take = psi_t > best_psi
+            best_f = jnp.where(take, f_t, best_f)
+            best_a = jnp.where(take, a_t, best_a)
+            best_psi = jnp.where(take, psi_t, best_psi)
+        return (best_f, best_a, best_psi), best_psi - psi_prev
 
     f0 = jnp.zeros(n, dtype)
     a0 = jnp.zeros(n, dtype)
@@ -199,7 +226,8 @@ def fit_laplace(
     )
     return LaplacePosterior(
         kernel=kernel, likelihood=lik, x=x, y=y, f_hat=f_hat, sqrt_w=sw,
-        L_B=L_B, grad_lik=grad, log_marginal=lml, newton_deltas=deltas,
+        L_B=L_B, a_hat=a_hat, grad_lik=grad, log_marginal=lml,
+        newton_deltas=deltas,
     )
 
 
@@ -208,12 +236,13 @@ def predict_laplace(post: LaplacePosterior, xo):
     transform (R&W alg. 3.2): class-+1 probability for logistic,
     expected rate for Poisson.
 
-    mean = k(xo)^T grad_lik;  var = k(xo,xo) - ||L^-1 W^1/2 k(xo)||^2.
+    mean = k(xo)^T a_hat;  var = k(xo,xo) - ||L^-1 W^1/2 k(xo)||^2
+    (a_hat, not the raw likelihood gradient — see LaplacePosterior).
     """
     xo = jnp.asarray(xo)
     with jax.default_matmul_precision("highest"):
         Ks = post.kernel(post.x, xo)  # (n, q)
-        mean = jnp.matmul(Ks.T, post.grad_lik, precision=_HI)
+        mean = jnp.matmul(Ks.T, post.a_hat, precision=_HI)
         v = solve_triangular(
             post.L_B, post.sqrt_w[:, None] * Ks, lower=True
         )

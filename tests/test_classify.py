@@ -34,10 +34,14 @@ def test_newton_reaches_mode():
     x, y = _data(100)
     k = GaussianKernel(1.5, 0.6)
     post = fit_laplace(k, x, y, num_iters=25)
-    # at the mode: f_hat = K grad_lik (R&W 3.17)
+    # at the mode: f_hat = K a_hat = K grad_lik (R&W 3.17); a_hat is
+    # the recurrence's stable copy and must agree with grad_lik in f64
     K = k(x, x) + 1e-6 * jnp.eye(100)
     np.testing.assert_allclose(
-        post.f_hat, K @ post.grad_lik, atol=1e-8
+        post.f_hat, K @ post.a_hat, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(post.a_hat), np.asarray(post.grad_lik), atol=1e-8
     )
     # Newton objective increments go to ~0
     assert abs(float(post.newton_deltas[-1])) < 1e-10
