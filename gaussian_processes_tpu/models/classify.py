@@ -87,6 +87,10 @@ def _log_sigmoid(z):
 class LogisticLikelihood:
     """Binary labels in {-1, +1}, p(y|f) = sigmoid(y f)."""
 
+    def log_prob(self, f, y):
+        """Elementwise log p(y|f) — the quadrature hook for SVGP."""
+        return _log_sigmoid(y * f)
+
     def terms(self, f, y):
         """(sum log p(y|f), grad (n,), W (n,)) at latent f."""
         ll = jnp.sum(_log_sigmoid(y * f))
@@ -114,6 +118,12 @@ class PoissonLikelihood:
     """
 
     binsize: jax.Array = 1.0
+
+    def log_prob(self, f, y):
+        """Elementwise log p(y|f) — the quadrature hook for SVGP."""
+        b = jnp.asarray(self.binsize, f.dtype)
+        return y * (f + jnp.log(b)) - b * jnp.exp(f) \
+            - jax.lax.lgamma(y + 1.0)
 
     def terms(self, f, y):
         b = jnp.asarray(self.binsize, f.dtype)
