@@ -93,7 +93,7 @@ class LogisticLikelihood:
 
     def terms(self, f, y):
         """(sum log p(y|f), grad (n,), W (n,)) at latent f."""
-        ll = jnp.sum(_log_sigmoid(y * f))
+        ll = jnp.sum(self.log_prob(f, y))  # single source of truth
         pi = jax.nn.sigmoid(f)
         t = 0.5 * (y + 1.0)  # labels mapped to {0, 1}
         grad = t - pi
@@ -128,12 +128,10 @@ class PoissonLikelihood:
     def terms(self, f, y):
         b = jnp.asarray(self.binsize, f.dtype)
         rate = b * jnp.exp(f)
-        # sum log p = sum [ y (f + log b) - rate - log y! ]; the log y!
-        # term is f-independent but kept so the evidence is a real
-        # log-probability (comparable across hyperparameters AND models)
-        ll = jnp.sum(
-            y * (f + jnp.log(b)) - rate - jax.lax.lgamma(y + 1.0)
-        )
+        # the log y! term in log_prob is f-independent but kept so the
+        # evidence is a real log-probability (comparable across
+        # hyperparameters AND models)
+        ll = jnp.sum(self.log_prob(f, y))  # single source of truth
         grad = y - rate
         return ll, grad, rate
 

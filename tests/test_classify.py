@@ -216,3 +216,38 @@ def test_poisson_mle_improves_and_beats_bad_hypers():
         GaussianKernel(0.4, 2.5), x, y, likelihood=lik
     ))
     assert float(post.log_marginal) > bad
+
+
+def test_log_prob_consistent_with_terms():
+    """log_prob is the single source of truth for terms' ll (ADVICE r2):
+    sum(log_prob) == terms ll and grad(sum log_prob) == terms grad, for
+    both likelihoods — pins the SVGP quadrature hook before a consumer
+    lands."""
+    from gaussian_processes_tpu.models.classify import (
+        LogisticLikelihood,
+        PoissonLikelihood,
+    )
+
+    rng = np.random.default_rng(11)
+    f = jnp.asarray(rng.standard_normal(40))
+    yb = jnp.asarray(np.where(rng.random(40) < 0.5, 1.0, -1.0))
+    yc = jnp.asarray(rng.poisson(2.0, 40).astype(np.float64))
+    for lik, y in (
+        (LogisticLikelihood(), yb),
+        (PoissonLikelihood(binsize=0.7), yc),
+    ):
+        ll, grad, w = lik.terms(f, y)
+        np.testing.assert_allclose(
+            float(jnp.sum(lik.log_prob(f, y))), float(ll), rtol=1e-12
+        )
+        g_auto = jax.grad(lambda ff: jnp.sum(lik.log_prob(ff, y)))(f)
+        np.testing.assert_allclose(
+            np.asarray(g_auto), np.asarray(grad), rtol=1e-9, atol=1e-12
+        )
+        # W = -d2/df2 sum log_prob (diagonal), the Newton curvature
+        hess_diag = -jnp.diagonal(
+            jax.hessian(lambda ff: jnp.sum(lik.log_prob(ff, y)))(f)
+        )
+        np.testing.assert_allclose(
+            np.asarray(hess_diag), np.asarray(w), rtol=1e-9, atol=1e-12
+        )
