@@ -15,9 +15,24 @@ headline metric as successive JSON lines and a final combined line, so
      correctness reference — BASELINE.md round-2 decision)
   5. combined — one line with the lot (the driver's single-line record)
 
-Timing protocol (learned the hard way through the axon tunnel): never
-time repeated identical calls — vary the inputs every call and difference
-two in-jit scan lengths so per-call dispatch overhead cancels exactly.
+Timing protocol (round-3 revision — learned the hard way through the
+axon tunnel):
+
+1. Never time repeated identical calls — the tunnel replays repeated
+   (program, input-value) pairs without touching the chip.  Every timed
+   call gets fresh input VALUES.
+2. Synchronize by FETCHING a scalar derived from the output
+   (``float(out)``), never ``block_until_ready``: as of round 3 the
+   tunnel's block_until_ready returns immediately regardless of pending
+   work (calibration: a 16x 8192^3 HIGHEST matmul chain "completed" in
+   0.15 ms under block_until_ready; fetch-timed it scales perfectly
+   linearly at 31.3 Tf/s = ~95% of the 6-pass bf16 ceiling —
+   benchmarks/probe_solve_r3.py history).  Timed functions therefore
+   reduce to (tuples of) scalars.
+3. Subtract the measured dispatch+fetch floor, but archive the raw
+   median and the floor as separate fields and never clip to zero —
+   a sub-floor measurement must stay visible (VERDICT r2 weak #2).
+
 Sections are independent; a failure prints an "error" line and the rest
 still run.  BENCH_MODE selects a single section (fit | chol | iterative |
 toeplitz | ski | whittle | rff | sgpr | chees | nuts) for quick runs.
@@ -42,6 +57,25 @@ def _emit(obj):
         _RESULTS[obj["metric"]] = obj["value"]
 
 
+def _cpu_vs(key, wall):
+    """Speedup vs the same-algorithm CPU run (benchmarks/cpu_large.py).
+
+    The large-N regimes have no dense-CPU equivalent at their sizes (K
+    at N=2^20 would be 8.8 TB); the honest denominator is the SAME
+    algorithm executed on this host's CPU (f64, XLA-CPU / numpy) —
+    measured once per machine into benchmarks/cpu_baseline_large.json.
+    """
+    if wall is None or wall <= 0:
+        return None
+    path = os.path.join(os.path.dirname(__file__), "benchmarks",
+                        "cpu_baseline_large.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        ref = json.load(f).get(key)
+    return round(ref["total_s"] / wall, 2) if ref else None
+
+
 def _sine_problem(n, seed=0):
     rng = np.random.default_rng(seed)
     x = np.sort(rng.uniform(-np.pi, np.pi, n)).astype(DTYPE)
@@ -49,13 +83,22 @@ def _sine_problem(n, seed=0):
     return x, y
 
 
-def _dispatch_floor(jax, jnp):
-    """Median wall of a trivial device round trip (fresh values each call).
+def _fetch(jax, out):
+    """Synchronize by pulling the output to the host (see header item 2).
 
-    The per-call cost any program pays through the tunnel (~30 ms);
-    subtracted from probe walls to estimate device time.  Fresh random
-    inputs per call — the tunnel replays repeated (program, value) pairs
-    without touching the chip.
+    ``out`` must be a scalar or (nested) tuple of scalars/small arrays —
+    the device->host transfer cannot complete before the computation
+    does, which block_until_ready no longer guarantees on the tunnel.
+    """
+    return jax.device_get(out)
+
+
+def _dispatch_floor(jax, jnp):
+    """Median wall of a trivial dispatch+fetch round trip (fresh values).
+
+    The per-call cost any fetch-synchronized probe pays through the
+    tunnel (~25 ms as of round 3); subtracted from probe walls to
+    estimate device time (raw wall and floor are both archived).
     """
     import uuid
 
@@ -63,24 +106,33 @@ def _dispatch_floor(jax, jnp):
     f = jax.jit(lambda a: jnp.sum(a) + nonce)
     rng = np.random.default_rng()
     walls = []
-    for i in range(4):
+    for i in range(8):
         a = jnp.asarray(rng.standard_normal((8, 128)).astype(np.float32))
-        jax.block_until_ready(a)
+        _fetch(jax, jnp.sum(a))  # ensure the upload completed
         t0 = time.perf_counter()
-        jax.block_until_ready(f(a))
+        _fetch(jax, f(a))
         if i > 0:
             walls.append(time.perf_counter() - t0)
     return float(np.median(walls))
 
 
 def _probe_walls(jax, fn, inputs):
-    """Median wall over fresh-valued calls; call 0 is the compile."""
+    """Median fetch-synchronized wall over fresh-valued calls.
+
+    Call 0 is the compile.  ``fn`` must return a scalar or a tuple of
+    scalars (fetch sync — header item 2).
+    """
+    import jax.numpy as jnp
+
     walls = []
     for i, a in enumerate(inputs):
-        jax.block_until_ready(a)
+        args = a if isinstance(a, tuple) else (a,)
+        _fetch(jax, jnp.sum(jnp.asarray(
+            [jnp.sum(x) for x in args], dtype=jnp.float32
+        )))  # uploads done
         t0 = time.perf_counter()
-        out = fn(*a) if isinstance(a, tuple) else fn(a)
-        jax.block_until_ready(out)
+        out = fn(*args)
+        _fetch(jax, out)
         if i > 0:
             walls.append(time.perf_counter() - t0)
     return float(np.median(walls)), out
@@ -122,7 +174,7 @@ def bench_fit():
     floor = _dispatch_floor(jax, jnp)
     med, out = _probe_walls(jax, f, inputs)
     assert bool(jnp.isfinite(out)), "non-finite log marginal"
-    wall = max(med - floor, 1e-9)
+    wall = med - floor  # un-clipped; raw + floor archived alongside
 
     vs = None
     base_path = os.path.join(os.path.dirname(__file__), "benchmarks",
@@ -131,7 +183,7 @@ def bench_fit():
         with open(base_path) as f2:
             base = json.load(f2)
         ref = base.get(str(N))
-        if ref:
+        if ref and wall > 0:
             vs = ref["total_s"] / wall
     _emit({"metric": f"exact_gp_fit_n{N}_{DTYPE}_wall",
            "value": round(wall, 6), "unit": "s",
@@ -166,17 +218,19 @@ def bench_chol():
             for _ in range(4)
         ]
         med, _ = _probe_walls(jax, jfn, inputs)
-        return max(med - floor, 1e-9)
+        return med - floor, med
 
-    t_xla = probe(jnp.linalg.cholesky)
-    t_blk = probe(lambda A: cholesky_blocked(A, base=base, algo=algo))
+    t_xla, raw_xla = probe(jnp.linalg.cholesky)
+    t_blk, raw_blk = probe(lambda A: cholesky_blocked(A, base=base, algo=algo))
     flops = n**3 / 3
     _emit({"metric": f"cholesky_xla_n{n}_dev", "value": round(t_xla, 5),
            "unit": "s", "tflops": round(flops / t_xla / 1e12, 1),
+           "wall_raw": round(raw_xla, 5), "floor": round(floor, 5),
            "vs_baseline": None})
     _emit({"metric": f"cholesky_blocked{base}_{algo}_n{n}_dev",
            "value": round(t_blk, 5), "unit": "s",
            "tflops": round(flops / t_blk / 1e12, 1),
+           "wall_raw": round(raw_blk, 5), "floor": round(floor, 5),
            "vs_baseline": round(t_xla / t_blk, 2)})
 
 
@@ -197,24 +251,29 @@ def bench_iterative():
 
     iters = int(os.environ.get("BENCH_ITERS", 150))
     rank = int(os.environ.get("BENCH_PRECOND_RANK", 2048))
-    fit_j = jax.jit(lambda x, y: fit_iterative(
-        kernel, x, y, 0.1, jax.random.key(0),
-        num_probes=8, num_iters=iters, tol=1e-6, jitter=1e-4,
-        block_size=2048, precond_rank=rank,
-    ))
-    out = fit_j(x, y)
-    jax.block_until_ready(out.alpha)
-    assert bool(jnp.isfinite(out.log_marginal)), "non-finite lml estimate"
-    # unseeded scale: fresh input values per process (tunnel replay)
-    y2 = y * np.float32(1.0 + np.random.default_rng().random() * 1e-3)
-    t0 = time.perf_counter()
-    out = fit_j(x, y2)
-    jax.block_until_ready(out.alpha)
-    wall = time.perf_counter() - t0
+
+    @jax.jit
+    def f(x_, y_):
+        p = fit_iterative(
+            kernel, x_, y_, 0.1, jax.random.key(0),
+            num_probes=8, num_iters=iters, tol=1e-6, jitter=1e-4,
+            block_size=2048, precond_rank=rank,
+        )
+        return p.log_marginal, p.solve_residual
+
+    rng = np.random.default_rng()
+    floor = _dispatch_floor(jax, jnp)
+    inputs = [
+        (jnp.asarray(x), jnp.asarray(y * np.float32(1 + rng.random() * 1e-3)))
+        for _ in range(3)
+    ]
+    med, (lml, res) = _probe_walls(jax, f, inputs)
+    assert bool(jnp.isfinite(lml)), "non-finite lml estimate"
     _emit({"metric": f"iterative_gp_fit_n{n}_{DTYPE}_wall",
-           "value": round(wall, 4), "unit": "s",
-           "residual": float(out.solve_residual),
-           "vs_baseline": None})
+           "value": round(med - floor, 4), "unit": "s",
+           "wall_raw": round(med, 4), "floor": round(floor, 4),
+           "residual": float(res),
+           "vs_baseline": _cpu_vs("iterative", med - floor)})
 
 
 def bench_toeplitz():
@@ -235,6 +294,7 @@ def bench_toeplitz():
 
     rng = np.random.default_rng()
     nonce = float(int(uuid.uuid4()) % 1000003) * 1e-30
+    floor = _dispatch_floor(jax, jnp)
 
     for n, iters in ((65536, 150), (1048576, 200)):
         w = max(100.0 * 2 * np.pi / n, 1e-4)
@@ -257,8 +317,10 @@ def bench_toeplitz():
         lml, res = out
         assert bool(jnp.isfinite(lml)), "non-finite lml"
         _emit({"metric": f"toeplitz_gp_fit_n{n}_grid_{DTYPE}_wall",
-               "value": round(med, 4), "unit": "s",
-               "residual": float(res), "vs_baseline": None})
+               "value": round(med - floor, 4), "unit": "s",
+               "wall_raw": round(med, 4), "floor": round(floor, 4),
+               "residual": float(res),
+               "vs_baseline": _cpu_vs(f"toeplitz_{n}", med - floor)})
 
 
 def bench_whittle():
@@ -288,8 +350,9 @@ def bench_whittle():
     v, g = out
     assert bool(jnp.all(jnp.isfinite(g))), "non-finite whittle grad"
     _emit({"metric": f"whittle_logpost_vg_n{n}_{DTYPE}_wall",
-           "value": round(max(med - floor, 0.0), 5), "unit": "s",
-           "vs_baseline": None})
+           "value": round(med - floor, 5), "unit": "s",
+           "wall_raw": round(med, 5), "floor": round(floor, 5),
+           "vs_baseline": _cpu_vs("whittle", med - floor)})
 
     # 2-D torus variant: the per-leapfrog cost of fully Bayesian
     # hyperparameters on a 1024x1024 grid (D-dim Whittle, one fftn)
@@ -318,8 +381,9 @@ def bench_whittle():
     _, g2v = out2
     assert bool(jnp.all(jnp.isfinite(g2v))), "non-finite 2d whittle grad"
     _emit({"metric": f"whittle2d_logpost_vg_n{npd * npd}_{DTYPE}_wall",
-           "value": round(max(med2 - floor, 0.0), 5), "unit": "s",
-           "vs_baseline": None})
+           "value": round(med2 - floor, 5), "unit": "s",
+           "wall_raw": round(med2, 5), "floor": round(floor, 5),
+           "vs_baseline": _cpu_vs("whittle2d", med2 - floor)})
 
 
 def bench_ski():
@@ -364,12 +428,15 @@ def bench_ski():
             (jnp.asarray(x), jnp.asarray(y * np.float32(1 + rng.random() * 1e-3)))
             for _ in range(3)
         ]
+        floor = _dispatch_floor(jax, jnp)
         med, out = _probe_walls(jax, lambda a, b: f(a, b), inputs)
         lml, res = out
         assert bool(jnp.isfinite(lml)), "non-finite lml"
         _emit({"metric": f"ski_gp_fit_n{n}_scattered_m{m}_{DTYPE}_wall",
-               "value": round(med, 4), "unit": "s",
-               "residual": float(res), "vs_baseline": None})
+               "value": round(med - floor, 4), "unit": "s",
+               "wall_raw": round(med, 4), "floor": round(floor, 4),
+               "residual": float(res),
+               "vs_baseline": _cpu_vs("ski", med - floor)})
 
 
 def bench_rff():
@@ -408,8 +475,9 @@ def bench_rff():
     med, out = _probe_walls(jax, lambda a, b: f(a, b), inputs)
     assert bool(jnp.isfinite(out)), "non-finite rff lml"
     _emit({"metric": f"rff_gp_fit_n{n}_F{F}_{DTYPE}_wall",
-           "value": round(max(med - floor, 0.0), 4), "unit": "s",
-           "vs_baseline": None})
+           "value": round(med - floor, 4), "unit": "s",
+           "wall_raw": round(med, 4), "floor": round(floor, 4),
+           "vs_baseline": _cpu_vs("rff", med - floor)})
 
 
 def bench_sgpr():
@@ -459,8 +527,9 @@ def bench_sgpr():
     assert bool(jnp.all(jnp.isfinite(mean)) and jnp.all(var > -1e-3)), \
         "sgpr predictions unhealthy"
     _emit({"metric": f"sgpr_gp_fit_n{n}_m{m}_{DTYPE}_wall",
-           "value": round(max(med - floor, 0.0), 4), "unit": "s",
-           "vs_baseline": None})
+           "value": round(med - floor, 4), "unit": "s",
+           "wall_raw": round(med, 4), "floor": round(floor, 4),
+           "vs_baseline": _cpu_vs("sgpr", med - floor)})
 
 
 def _sampler_problem(n=500, n_chains=64):
@@ -483,7 +552,20 @@ def _sampler_problem(n=500, n_chains=64):
 
 
 def bench_chees():
+    """ChEES-HMC samples/s, 64 chains — PINNED protocol (VERDICT r2 weak #3).
+
+    Protocol: 200 warmup (step-size + trajectory adaptation), then time
+    200 collection transitions in chunks of 25 with adapt_traj=False,
+    fetch-synchronized.  The adapted trajectory length varies run-to-run
+    (harmonic pooling across chains) and samples/s is proportional to
+    1/leapfrog-per-sample, so the emitted record carries mean_leapfrog
+    and the adapted step size — a throughput drift WITHOUT a matching
+    mean_leapfrog drift is a perf regression; one WITH it is the
+    adaptation landing elsewhere (the round-2 418-vs-1017 discrepancy
+    was exactly this, unrecorded).
+    """
     import jax
+    import jax.numpy as jnp
 
     import gaussian_processes_tpu.inference.chees as chees_mod
     from gaussian_processes_tpu.inference.chees import sample_chees
@@ -494,7 +576,7 @@ def bench_chees():
     # continuing from the warm state with the same chunked scan
     r = sample_chees(log_post, init, k2, num_warmup=200, num_samples=10,
                      init_step_size=0.05, chunk_size=25)
-    jax.block_until_ready(r.positions)
+    _fetch(jax, jnp.sum(r.positions))
     state = r.final
 
     def cstep(s, _):
@@ -506,21 +588,28 @@ def bench_chees():
     run = jax.jit(lambda s, n_: jax.lax.scan(cstep, s, None, length=n_),
                   static_argnums=1)
     state, _ = run(state, 25)  # compile the collection chunk
-    jax.block_until_ready(state.chains.z)
+    _fetch(jax, jnp.sum(state.chains.z))
     t0 = time.perf_counter()
-    done = 0
+    done, nl_chunks = 0, []
     while done < n_samp:
         state, nls = run(state, min(25, n_samp - done))
+        nl_chunks.append(nls)
         done += 25
-    jax.block_until_ready(state.chains.z)
+    _fetch(jax, jnp.sum(state.chains.z))
     wall = time.perf_counter() - t0
+    nl_sum = float(sum(float(jnp.sum(c)) for c in nl_chunks))
     _emit({"metric": f"chees_gp_hyper_n{n}_c{n_chains}_{DTYPE}",
            "value": round(n_samp * n_chains / wall, 2),
-           "unit": "samples/s", "vs_baseline": None})
+           "unit": "samples/s", "wall_raw": round(wall, 3),
+           "mean_leapfrog": round(nl_sum / n_samp, 1),
+           "step_size": round(float(jnp.mean(state.step_size)), 5),
+           "protocol": "warmup200+collect200/chunk25/adapt_traj=False",
+           "vs_baseline": None})
 
 
 def bench_nuts():
     import jax
+    import jax.numpy as jnp
 
     from gaussian_processes_tpu.inference import collect, warmup
 
@@ -530,16 +619,25 @@ def bench_nuts():
     # tunnel's watchdog at this problem size (semantics are unchanged)
     state = warmup(log_post, init, k2, num_warmup=200, max_depth=8,
                    init_step_size=0.05, chunk_size=10)
-    jax.block_until_ready(state.chains.z)
+    _fetch(jax, jnp.sum(state.chains.z))
     r = collect(log_post, state, 10, max_depth=8, chunk_size=10)  # compile
-    jax.block_until_ready(r.positions)
+    _fetch(jax, jnp.sum(r.positions))
     t0 = time.perf_counter()
     r = collect(log_post, r.final, n_samp, max_depth=8, chunk_size=10)
-    jax.block_until_ready(r.positions)
+    _fetch(jax, jnp.sum(r.positions))
     wall = time.perf_counter() - t0
+    # lane utilization: vectorized chains run trees in lockstep, so each
+    # transition costs ~the max leapfrog count over chains; the NUTS-vs-
+    # ChEES policy (BASELINE.md) rests on this number staying low
+    # (VERDICT r2 weak #6 — keep the premise measured)
+    nl = jnp.asarray(r.num_leapfrog, jnp.float32)  # (num_samples, C)
+    util_lane = float(jnp.mean(nl) / jnp.mean(jnp.max(nl, axis=1)))
     _emit({"metric": f"nuts_gp_hyper_n{n}_c{n_chains}_{DTYPE}",
            "value": round(n_samp * n_chains / wall, 2),
-           "unit": "samples/s", "vs_baseline": None})
+           "unit": "samples/s", "wall_raw": round(wall, 3),
+           "mean_leapfrog": round(float(jnp.mean(nl)), 1),
+           "lane_utilization": round(util_lane, 3),
+           "vs_baseline": None})
 
 
 _SECTIONS = {
@@ -576,7 +674,7 @@ def main():
         with open(base_path) as f:
             base = json.load(f)
         ref = base.get(str(int(os.environ.get("BENCH_N", 16384))))
-        if ref:
+        if ref and _RESULTS[fit_key] > 0:
             vs = round(ref["total_s"] / _RESULTS[fit_key], 2)
     print(json.dumps({
         "metric": "headline_suite",
