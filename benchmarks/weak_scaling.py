@@ -1,0 +1,132 @@
+"""Weak-scaling rehearsal for config #5 on the virtual CPU mesh.
+
+BASELINE.json:11 wants ≥80% chain-parallel scaling efficiency to ≥2
+hosts.  Real multi-host hardware is absent in the build environment, so
+this harness measures the part of weak scaling the software controls —
+the overhead the sharding machinery (shard_map, pooled-adaptation
+collectives, per-device RNG folding) adds on top of the same
+computation unsharded — on the 8-virtual-device CPU mesh.
+
+Two readings:
+
+1. **Constant-work overhead** (the gated number, also in
+   tests/test_weak_scaling.py): C chains, identical warmup+collection,
+   run (a) unsharded (one vmapped program on one device) and (b)
+   sharded over 8 devices with pooled adaptation.  On a virtual mesh
+   all devices share the same host cores, so both runs execute the same
+   FLOPs on the same silicon; any wall-clock delta is sharding overhead.
+   efficiency = wall_unsharded / wall_sharded  (>= 0.8 gate).
+
+2. **Weak-scaling table** (informational on CPU): 128 chains/device
+   over 1/2/4/8 devices.  On real hardware each device adds compute,
+   so per-chain throughput should hold flat; on the virtual mesh the
+   devices SHARE 4 host cores, so the table reports the software trend
+   only (collective count grows with device count; wall grows with
+   total chains) — the real-pod protocol is docs/multihost.md.
+
+Run:
+    env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+      XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python benchmarks/weak_scaling.py
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def problem(n=64, n_chains=256, dtype=jnp.float32):
+    from gaussian_processes_tpu import GaussianKernel
+    from gaussian_processes_tpu.inference import (
+        init_positions,
+        make_log_posterior,
+    )
+
+    rng = np.random.default_rng(0)
+    x = np.sort(rng.uniform(-np.pi, np.pi, n)).astype(np.float32)
+    y = (np.sin(2 * x) + 0.1 * rng.standard_normal(n)).astype(np.float32)
+    k0 = GaussianKernel(h=jnp.asarray(1.0, dtype), w=jnp.asarray(1.0, dtype))
+    log_post = make_log_posterior(k0, x, y, prior_std=1.5, jitter=1e-5)
+    k1, k2 = jax.random.split(jax.random.key(0))
+    init = init_positions(k0, 0.2, k1, n_chains=n_chains, spread=0.2,
+                          dtype=jnp.dtype(dtype))
+    return log_post, init, k2
+
+
+def run_unsharded(log_post, init, key, num_warmup, num_samples):
+    from gaussian_processes_tpu.inference.chees import sample_chees
+
+    t0 = time.perf_counter()
+    r = sample_chees(log_post, init, key, num_warmup=num_warmup,
+                     num_samples=num_samples, init_step_size=0.05,
+                     chunk_size=25)
+    jax.block_until_ready(r.positions)
+    return time.perf_counter() - t0, r
+
+
+def run_sharded(log_post, init, key, num_warmup, num_samples, n_devices):
+    from gaussian_processes_tpu.parallel import (
+        make_chain_mesh,
+        sample_chees_sharded,
+    )
+
+    mesh = make_chain_mesh(n_devices)
+    t0 = time.perf_counter()
+    r = sample_chees_sharded(log_post, init, key, mesh=mesh,
+                             num_warmup=num_warmup,
+                             num_samples=num_samples,
+                             init_step_size=0.05, chunk_size=25)
+    jax.block_until_ready(r.positions)
+    return time.perf_counter() - t0, r
+
+
+def constant_work_efficiency(n_chains=256, num_warmup=100, num_samples=100,
+                             verbose=True):
+    """wall(unsharded C chains) / wall(sharded C chains over 8 devices)."""
+    log_post, init, key = problem(n_chains=n_chains)
+    # compile both once (excluded from timing) by running tiny lengths
+    run_unsharded(log_post, init, key, 2, 2)
+    run_sharded(log_post, init, key, 2, 2, 8)
+    w_un, _ = run_unsharded(log_post, init, key, num_warmup, num_samples)
+    w_sh, _ = run_sharded(log_post, init, key, num_warmup, num_samples, 8)
+    eff = w_un / w_sh
+    if verbose:
+        print(f"constant-work: unsharded {w_un:.2f}s  sharded(8dev) "
+              f"{w_sh:.2f}s  efficiency {eff:.2f}", flush=True)
+    return eff
+
+
+def weak_scaling_table(chains_per_device=128, num_warmup=100,
+                       num_samples=100):
+    rows = []
+    for d in (1, 2, 4, 8):
+        c = chains_per_device * d
+        log_post, init, key = problem(n_chains=c)
+        run_sharded(log_post, init, key, 2, 2, d)  # compile
+        w, _ = run_sharded(log_post, init, key, num_warmup, num_samples, d)
+        rate = c * num_samples / w
+        rows.append((d, c, w, rate))
+        print(f"devices={d}  chains={c:5d}  wall={w:7.2f}s  "
+              f"samples/s={rate:9.1f}", flush=True)
+    # virtual-mesh caveat: all devices share the host cores, so rate is
+    # NOT expected to grow with d here; on a pod it should scale ~d.
+    return rows
+
+
+if __name__ == "__main__":
+    eff = constant_work_efficiency()
+    weak_scaling_table()
+    print(f"\nsharding-overhead efficiency (gate >= 0.8): {eff:.2f}")

@@ -167,9 +167,13 @@ def fit_laplace(
     y = y.astype(dtype)
     lik = LogisticLikelihood() if likelihood is None else likelihood
 
-    from gaussian_processes_tpu.ops.blocked_cholesky import choose_cholesky
+    from gaussian_processes_tpu.ops.blocked_cholesky import (
+        choose_cholesky,
+        choose_solve,
+    )
 
     chol = choose_cholesky(n)
+    solve = choose_solve(n)
     with jax.default_matmul_precision("highest"):
         K = kernel(x, x) + jitter * jnp.eye(n, dtype=dtype)
 
@@ -187,8 +191,8 @@ def fit_laplace(
             L = chol(B)
             b = w * f + grad
             Kb = jnp.matmul(K, b, precision=_HI)
-            v = solve_triangular(L, sw * Kb, lower=True)
-            v = solve_triangular(L.T, v, lower=False)
+            v = solve(L, sw * Kb)
+            v = solve(L, v, trans=True)
             a_new = b - sw * v  # = (K^-1 + W)^-1 ... = K^-1 f_new
             f_new = jnp.matmul(K, a_new, precision=_HI)
         # damped step: a fixed backtracking ladder picks the best-psi
@@ -248,11 +252,13 @@ def predict_laplace(post: LaplacePosterior, xo):
     (a_hat, not the raw likelihood gradient — see LaplacePosterior).
     """
     xo = jnp.asarray(xo)
+    from gaussian_processes_tpu.ops.blocked_cholesky import choose_solve
+
     with jax.default_matmul_precision("highest"):
         Ks = post.kernel(post.x, xo)  # (n, q)
         mean = jnp.matmul(Ks.T, post.a_hat, precision=_HI)
-        v = solve_triangular(
-            post.L_B, post.sqrt_w[:, None] * Ks, lower=True
+        v = choose_solve(post.x.shape[0])(
+            post.L_B, post.sqrt_w[:, None] * Ks
         )
         var = post.kernel.kdiag(xo).astype(mean.dtype) \
             - jnp.sum(jnp.square(v), axis=0)

@@ -92,15 +92,18 @@ def build_kxx(kernel: Kernel, x: jax.Array, noise, jitter=0.0) -> jax.Array:
 
 def _chol_pieces(kernel, x, y, noise, jitter):
     Kxx = build_kxx(kernel, x, noise, jitter)
-    # factorization choice is static (trace-time): XLA's cholesky at
-    # small n / on CPU, the MXU-blocked recursion on TPU at large n
-    # (ops/blocked_cholesky.py; measured in BASELINE.md round 2)
-    from gaussian_processes_tpu.ops.blocked_cholesky import choose_cholesky
+    # factorization/solve choice is static (trace-time): XLA at small n
+    # / on CPU, the MXU-blocked recursion on TPU at large n
+    # (ops/blocked_cholesky.py; measured rounds 2-3 — at n=16384 the
+    # blocked TRSM cuts the two alpha solves 13.4 -> 2.0 ms)
+    from gaussian_processes_tpu.ops.blocked_cholesky import (
+        choose_cholesky,
+        choose_solve,
+    )
 
     L = choose_cholesky(x.shape[0])(Kxx)
-    alpha = solve_triangular(
-        L.T, solve_triangular(L, y, lower=True), lower=False
-    )
+    solve = choose_solve(x.shape[0])
+    alpha = solve(L, solve(L, y), trans=True)
     n = x.shape[0]
     log_marginal = (
         -0.5 * jnp.dot(y, alpha)
@@ -138,12 +141,14 @@ def predict(post: GPPosterior, xo) -> Tuple[jax.Array, jax.Array]:
     (Latent-function covariance; add s^2 I for observation noise.)
     """
     xo = jnp.asarray(xo)
+    from gaussian_processes_tpu.ops.blocked_cholesky import choose_solve
+
     # full-f32 matmuls: TPU's default bf16 multiply noise (~1e-2) is
     # visible in predictive covariances otherwise
     with jax.default_matmul_precision("highest"):
         Kxox = post.kernel(xo, post.x)
         mean = Kxox @ post.alpha
-        v = solve_triangular(post.L, Kxox.T, lower=True)
+        v = choose_solve(post.x.shape[0])(post.L, Kxox.T)
         cov = post.kernel(xo, xo) - v.T @ v
     return mean, cov
 
@@ -167,10 +172,12 @@ def predict_diag(post: GPPosterior, xo) -> Tuple[jax.Array, jax.Array]:
     Memory-light path for large xo: var_i = k(xo_i, xo_i) - ||L^-1 k_i||^2.
     """
     xo = jnp.asarray(xo)
+    from gaussian_processes_tpu.ops.blocked_cholesky import choose_solve
+
     with jax.default_matmul_precision("highest"):
         Kxox = post.kernel(xo, post.x)
         mean = Kxox @ post.alpha
-        v = solve_triangular(post.L, Kxox.T, lower=True)
+        v = choose_solve(post.x.shape[0])(post.L, Kxox.T)
         var = post.kernel.kdiag(xo) - jnp.sum(v * v, axis=0)
     return mean, var
 
@@ -231,10 +238,13 @@ def loo_predictive(post: GPPosterior) -> Tuple[jax.Array, jax.Array, jax.Array]:
     likelihood = sum_i log N(y_i; mu_i, var_i)) — the standard
     model-selection alternative to the log marginal.
     """
+    from gaussian_processes_tpu.ops.blocked_cholesky import choose_solve
+
     with jax.default_matmul_precision("highest"):
-        Linv = solve_triangular(
-            post.L, jnp.eye(post.L.shape[0], dtype=post.L.dtype), lower=True
-        )
+        n = post.L.shape[0]
+        # blocked n-RHS solve on TPU at large n: XLA's native solve at
+        # n=16384 fails to compile (64 GB internal temp) — probe_solve_r3
+        Linv = choose_solve(n)(post.L, jnp.eye(n, dtype=post.L.dtype))
         diag_A = jnp.sum(jnp.square(Linv), axis=0)  # diag(K^-1)
     mu = post.y - post.alpha / diag_A
     var = 1.0 / diag_A
@@ -273,11 +283,13 @@ def extend_posterior(
     k = y_new.shape[0]
     n = post.y.shape[0]
     dtype = post.L.dtype
+    from gaussian_processes_tpu.ops.blocked_cholesky import choose_solve
+
     with jax.default_matmul_precision("highest"):
         Kxn = post.kernel(post.x, x_new)  # (n, k)
         diag = jnp.square(post.noise) + jnp.asarray(jitter, dtype)
         Knn = post.kernel(x_new, x_new) + diag * jnp.eye(k, dtype=dtype)
-        B = solve_triangular(post.L, Kxn, lower=True)  # (n, k)
+        B = choose_solve(n)(post.L, Kxn)  # (n, k)
         S = Knn - jnp.matmul(B.T, B, precision=jax.lax.Precision.HIGHEST)
         L_S = jnp.linalg.cholesky(0.5 * (S + S.T))
         L_new = jnp.block([
@@ -286,8 +298,9 @@ def extend_posterior(
         ])
         x_all = jnp.concatenate([post.x, x_new], axis=0)
         y_all = jnp.concatenate([post.y, y_new])
-        v = solve_triangular(L_new, y_all, lower=True)
-        alpha = solve_triangular(L_new.T, v, lower=False)
+        solve_nk = choose_solve(n + k)
+        v = solve_nk(L_new, y_all)
+        alpha = solve_nk(L_new, v, trans=True)
     lml = (
         -0.5 * jnp.dot(v, v)
         - jnp.sum(jnp.log(jnp.diagonal(L_new)))
@@ -320,9 +333,11 @@ def _full_hessian(kernel: Kernel, x, noise, dtype):
 
 def _grad_pieces(kernel, x, y, noise, jitter):
     """One factorization shared by the gradient and Hessian assemblies."""
+    from gaussian_processes_tpu.ops.blocked_cholesky import choose_solve
+
     L, alpha, lml = _chol_pieces(kernel, x, y, noise, jitter)
     n = x.shape[0]
-    inv_L = solve_triangular(L, jnp.eye(n, dtype=L.dtype), lower=True)
+    inv_L = choose_solve(n)(L, jnp.eye(n, dtype=L.dtype))
     inv_K = inv_L.T @ inv_L
     J = _full_jacobian(kernel, x, noise, L.dtype)
     return L, alpha, lml, inv_K, J

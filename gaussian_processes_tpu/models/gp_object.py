@@ -147,8 +147,10 @@ class GP:
     @memoprop
     def inv_Lxx(self):
         """Inverse of the Cholesky factor (parity; prefer triangular solves)."""
+        from gaussian_processes_tpu.ops.blocked_cholesky import choose_solve
+
         n = self._x.shape[0]
-        return solve_triangular(self.Lxx, jnp.eye(n, dtype=self.Lxx.dtype), lower=True)
+        return choose_solve(n)(self.Lxx, jnp.eye(n, dtype=self.Lxx.dtype))
 
     @memoprop
     def inv_Kxx(self):

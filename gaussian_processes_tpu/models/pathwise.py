@@ -307,11 +307,14 @@ def sample_posterior_pathwise(
     posterior up to the O(1/sqrt(F)) feature approximation of the prior.
     """
     xo = jnp.asarray(xo)
+    from gaussian_processes_tpu.ops.blocked_cholesky import choose_solve
+
     feats, u, resid = _pathwise_terms(
         post.kernel, post.x, post.y, post.noise, key, n_samples, num_features
     )
-    z = solve_triangular(post.L, resid, lower=True)
-    v = solve_triangular(post.L.T, z, lower=False)  # (n, S)
+    solve = choose_solve(post.x.shape[0])
+    z = solve(post.L, resid)
+    v = solve(post.L, z, trans=True)  # (n, S)
     with jax.default_matmul_precision("highest"):
         f_o = jnp.matmul(feats(xo), u, precision=_HI) + jnp.matmul(
             post.kernel(xo, post.x), v, precision=_HI

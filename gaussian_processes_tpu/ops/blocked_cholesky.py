@@ -479,3 +479,34 @@ def choose_cholesky(n: int, backend: Optional[str] = None):
     if backend == "tpu" and n >= _BLOCKED_MIN_N:
         return cholesky_blocked
     return jnp.linalg.cholesky
+
+
+def _xla_solve(L, B, *, trans=False):
+    return solve_triangular(L, B, lower=True, trans=1 if trans else 0)
+
+
+def _blocked_solve(L, B, *, trans=False):
+    return solve_triangular_blocked(L, B, trans=trans)
+
+
+def choose_solve(n: int, backend: Optional[str] = None):
+    """The lower-triangular solve the hot paths should use at size ``n``.
+
+    Returns ``solve(L, B, *, trans=False)`` solving L X = B (or
+    L^T X = B with ``trans=True``) for lower-triangular L.  TPU + large
+    n -> the GEMM-structured blocked TRSM; otherwise XLA's native solve.
+
+    Round-3 chip measurements at n=16384 f32 (benchmarks/
+    probe_solve_r3.py, fetch-synchronized): the alpha path's two 1-RHS
+    solves 13.4 ms (XLA) vs 2.0 ms (blocked); a 2048-RHS solve 36 ms vs
+    22 ms; the LOO/gradient paths' n-RHS solve L^-1 I 171 ms blocked
+    (25.8 Tf/s) while XLA's fails to COMPILE (its internal
+    dynamic-update-slice scheme wants a 64 GB temp).  Blocked wins at
+    every RHS count at this size, so the dispatch is on n alone, same
+    threshold as ``choose_cholesky``.
+    """
+    if backend is None:
+        backend = jax.default_backend()
+    if backend == "tpu" and n >= _BLOCKED_MIN_N:
+        return _blocked_solve
+    return _xla_solve

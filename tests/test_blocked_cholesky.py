@@ -178,3 +178,31 @@ def test_choose_cholesky_dispatch():
     assert choose_cholesky(16384, backend="cpu") is jnp.linalg.cholesky
     assert choose_cholesky(500, backend="tpu") is jnp.linalg.cholesky
     assert choose_cholesky(16384, backend="tpu") is cholesky_blocked
+
+
+def test_choose_solve_dispatch_and_parity():
+    """choose_solve routes by (backend, n) and both branches solve the
+    same system to f64 tightness (VERDICT r2 item 1: the blocked TRSM is
+    now the production solve on TPU at large n)."""
+    from gaussian_processes_tpu.ops.blocked_cholesky import (
+        _blocked_solve,
+        _xla_solve,
+        choose_solve,
+    )
+
+    assert choose_solve(500, backend="cpu") is _xla_solve
+    assert choose_solve(16384, backend="cpu") is _xla_solve
+    assert choose_solve(500, backend="tpu") is _xla_solve
+    assert choose_solve(16384, backend="tpu") is _blocked_solve
+
+    rng = np.random.default_rng(3)
+    n = 700  # not a multiple of the base: exercises the recursion splits
+    A = rng.standard_normal((n, 64))
+    K = A @ A.T / 64 + np.eye(n)
+    L = np.linalg.cholesky(K)
+    for shape in ((n,), (n, 5)):
+        b = rng.standard_normal(shape)
+        for trans in (False, True):
+            xb = _blocked_solve(jnp.asarray(L), jnp.asarray(b), trans=trans)
+            xx = _xla_solve(jnp.asarray(L), jnp.asarray(b), trans=trans)
+            np.testing.assert_allclose(xb, xx, rtol=1e-9, atol=1e-11)

@@ -1,0 +1,30 @@
+"""Gate on the sharding machinery's weak-scaling overhead (VERDICT r2 #6).
+
+On the 8-virtual-device CPU mesh every device shares the same host
+cores, so running the SAME chain population sharded vs unsharded
+executes identical FLOPs on identical silicon; the wall-clock ratio
+isolates what the sharding layer (shard_map dispatch, pooled-adaptation
+collectives, device-folded RNG) costs.  BASELINE.json:11's >= 80%
+efficiency gate is applied to that ratio here; the real-pod protocol is
+docs/multihost.md + benchmarks/weak_scaling.py.
+"""
+
+import sys
+import os
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+from benchmarks.weak_scaling import constant_work_efficiency  # noqa: E402
+
+
+def test_sharding_overhead_efficiency_gate():
+    # moderate sizes keep this under ~1 min on 4 host cores while the
+    # collection phase is long enough to dominate compile/dispatch noise
+    eff = constant_work_efficiency(
+        n_chains=256, num_warmup=60, num_samples=60, verbose=True
+    )
+    assert eff >= 0.8, (
+        f"sharded ChEES (8 virtual devices) is {1/eff:.2f}x slower than "
+        f"the identical unsharded run — sharding overhead exceeds the "
+        f"20% weak-scaling budget (BASELINE.json:11)"
+    )
