@@ -47,17 +47,26 @@ def _chol_blocked_inplace(K, panel=4096):
     blocks it anyway and keeps every BLAS call at a size that works.
     """
     n = K.shape[0]
+    tile = 8192  # every BLAS call stays modest: huge single dgemm /
+    # dtrsm calls segfault this host's OpenBLAS (kernel log, 2 crashes)
     for r in range(0, n, panel):
         b = min(panel, n - r)
         K[r:r + b, r:r + b] = sla.cholesky(K[r:r + b, r:r + b], lower=True)
         if r + b < n:
             Lkk = K[r:r + b, r:r + b]
             # L21 = A21 L11^-T  <=>  L11 (L21^T) = A21^T
-            K[r + b:, r:r + b] = sla.solve_triangular(
-                Lkk, K[r + b:, r:r + b].T, lower=True, trans="N"
-            ).T
+            for i in range(r + b, n, tile):
+                j = min(i + tile, n)
+                K[i:j, r:r + b] = sla.solve_triangular(
+                    Lkk, K[i:j, r:r + b].T, lower=True, trans="N"
+                ).T
             strip = K[r + b:, r:r + b]
-            K[r + b:, r + b:] -= strip @ strip.T
+            for i in range(r + b, n, tile):
+                j = min(i + tile, n)
+                # lower triangle only (the factorization never reads
+                # the strict upper triangle)
+                K[i:j, r + b:j] -= strip[i - r - b:j - r - b] @ \
+                    strip[:j - r - b].T
     return K
 
 

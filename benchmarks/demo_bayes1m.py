@@ -62,9 +62,14 @@ def main():
     k1, k2 = jax.random.split(jax.random.key(0))
     # tight spread: at n=1e6 the posterior is razor-thin (log-noise sd
     # ~1e-3); chains initialized 0.1 log-units out can freeze under the
-    # population-shared ChEES step size (measured: R-hat=inf from one
-    # stuck chain at spread=0.1)
-    init = init_positions(k0, s0, k1, n_chains=n_chains, spread=0.02,
+    # population-shared ChEES step size (measured round 2: R-hat=inf
+    # from one stuck chain at spread=0.1; round 3: same at spread=0.02
+    # with init_step_size=0.02 — the frozen chain never accepts while
+    # population acceptance stays 0.81, so the shared step never
+    # shrinks for it).  Defaults below are the measured-converged combo.
+    spread = float(os.environ.get("D1M_SPREAD", 0.01))
+    step0 = float(os.environ.get("D1M_STEP", 0.005))
+    init = init_positions(k0, s0, k1, n_chains=n_chains, spread=spread,
                           dtype=jnp.float32)
 
     t0 = time.perf_counter()
@@ -74,16 +79,22 @@ def main():
     res = sample_chees(
         log_post, init, k2,
         num_warmup=num_warmup, num_samples=num_samples,
-        init_step_size=0.02, init_traj_length=0.1,
+        init_step_size=step0, init_traj_length=0.1,
         max_leapfrog=32, chunk_size=10,
     )
-    jax.block_until_ready(res.positions)
+    # fetch-synchronize: the tunnel's block_until_ready returns before
+    # pending work completes (bench.py header, round 3)
+    float(jnp.sum(res.positions))
     wall = time.perf_counter() - t0
 
     draws = np.exp(np.asarray(res.positions)).reshape(-1, 3)
     total_draws = num_samples * n_chains
     from gaussian_processes_tpu.inference.diagnostics import summarize
     diag = summarize(np.asarray(res.positions))
+    # per-chain forensics: a frozen chain shows as accept ~0 and draw
+    # std ~0 — surfaced here so a bad run is attributable at a glance
+    acc_pc = np.asarray(res.accept_prob).reshape(-1, n_chains).mean(0)
+    std_pc = np.asarray(res.positions).std(0).max(-1)  # (C,) max over dims
     out = {
         "metric": f"bayes1m_chees_whittle_n{n}_c{n_chains}",
         "value": round(total_draws / wall, 1),
@@ -97,6 +108,10 @@ def main():
         "true_hws": [None, None, 0.1],  # only the noise is a true model param
         "max_rhat": diag["max_rhat"],
         "min_ess": diag["min_ess"],
+        "spread": spread,
+        "init_step_size": step0,
+        "min_chain_accept": float(acc_pc.min()),
+        "n_frozen_chains": int(np.sum(std_pc < 1e-6)),
         "finite": bool(np.all(np.isfinite(draws))),
     }
     print(json.dumps(out), flush=True)

@@ -284,6 +284,7 @@ def pcg(
     return_tridiag: bool = False,
     early_exit: bool = False,
     allreduce=None,
+    replace_every: int = 0,
 ):
     """Preconditioned CG on (n, r) right-hand sides, fixed iterations.
 
@@ -300,9 +301,26 @@ def pcg(
     step stops at convergence instead of burning the full budget.  Not
     differentiable (use the fixed scan or a custom_vjp around it) and
     incompatible with ``return_tridiag``.
+
+    ``replace_every=k`` (k > 0) enables **residual replacement**: every k
+    iterations the recurrence residual is recomputed as the TRUE residual
+    ``rhs - matvec(x)`` and the search direction restarts from the
+    preconditioned residual.  Rationale (VERDICT r2 item 5): in f32 the
+    recurrence residual drifts from the true one over hundreds of
+    iterations — the round-2 "f32 CG stall at ~1e-2" on the n>=65536 SKI
+    operator is exactly this drift, not an operator noise floor (the TPU
+    f32 FFT matvec error is ~4e-7, measured in probe_fft_prec).  Costs
+    one extra matvec per k iterations; van der Vorst/Sleijpen-style
+    infrequent replacement (k ~ 25-50) preserves CG convergence.
+    Incompatible with ``return_tridiag`` (replacement invalidates the
+    Lanczos coefficients).
     """
     if early_exit and return_tridiag:
         raise ValueError("early_exit does not collect tridiagonals")
+    if replace_every and return_tridiag:
+        raise ValueError(
+            "residual replacement invalidates the Lanczos tridiagonal"
+        )
     red = allreduce if allreduce is not None else (lambda a: a)
 
     def colsum(a):
@@ -315,8 +333,23 @@ def pcg(
     rz0 = colsum(r0 * z0)
     b_norm = jnp.sqrt(jnp.maximum(colsum(rhs * rhs), 1e-30))
 
-    def body(carry, _):
+    def body(carry, i):
         x, res, p, rz, x_best, rn_best = carry
+        if replace_every:
+            def _replace(args):
+                x, res, p, rz = args
+                res_t = rhs - matvec(x)
+                z_t = precond(res_t)
+                return res_t, z_t, colsum(res_t * z_t)
+
+            def _keep(args):
+                x, res, p, rz = args
+                return res, p, rz
+
+            res, p, rz = lax.cond(
+                (i > 0) & (i % replace_every == 0),
+                _replace, _keep, (x, res, p, rz),
+            )
         Ap = matvec(p)
         pAp = colsum(p * Ap)
         rn = jnp.sqrt(colsum(res * res))
@@ -358,7 +391,7 @@ def pcg(
 
         def wbody(state):
             i, carry, _ = state
-            carry, (_, _, active) = body(carry, None)
+            carry, (_, _, active) = body(carry, i)
             return i + 1, carry, active
 
         _, (x, res, _, _, x_best, rn_best), _ = lax.while_loop(
@@ -367,7 +400,7 @@ def pcg(
         )
         return x_best, rn_best / b_norm
     (x, res, _, _, x_best, rn_best), (alphas, betas, _) = lax.scan(
-        body, init, None, length=num_iters
+        body, init, jnp.arange(num_iters)
     )
     if return_tridiag:
         return x_best, rn_best / b_norm, alphas, betas
