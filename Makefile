@@ -8,7 +8,13 @@ PY ?= python
 native:
 	cd native && $(PY) setup.py build_ext --inplace -q
 
+# default gate: the fast tier (< 10 min on this 4-core host); the slow
+# tier (multi-minute statistical/structured-path integration files) runs
+# in test-all and CI
 test:
+	$(PY) -m pytest tests/ -q -m "not slow"
+
+test-all:
 	$(PY) -m pytest tests/ -q
 
 test-fast:

@@ -76,11 +76,17 @@ def main():
     # chunk small: one chunk of draws x leapfrogs x 2^20-point FFTs must
     # stay well under the tunnel watchdog's single-execution budget
     # (chunk_size=50 with max_leapfrog=64 crashed the TPU worker)
+    # max_leapfrog must admit trajectories ~ the posterior scale: the
+    # round-3 diagnosis run (32 x step 0.005 = 0.16 log-units vs log-h
+    # posterior sd ~0.19) had every chain moving and accepting (min
+    # chain accept 0.83, 0 frozen) yet ESS ~ 1/chain — pure random-walk
+    # behavior from capped trajectories, presenting as R-hat = inf
+    max_lf = int(os.environ.get("D1M_MAX_LEAPFROG", 128))
     res = sample_chees(
         log_post, init, k2,
         num_warmup=num_warmup, num_samples=num_samples,
         init_step_size=step0, init_traj_length=0.1,
-        max_leapfrog=32, chunk_size=10,
+        max_leapfrog=max_lf, chunk_size=10,
     )
     # fetch-synchronize: the tunnel's block_until_ready returns before
     # pending work completes (bench.py header, round 3)
@@ -95,6 +101,10 @@ def main():
     # std ~0 — surfaced here so a bad run is attributable at a glance
     acc_pc = np.asarray(res.accept_prob).reshape(-1, n_chains).mean(0)
     std_pc = np.asarray(res.positions).std(0).max(-1)  # (C,) max over dims
+    dump = os.environ.get("D1M_SAVE")
+    if dump:
+        np.savez(dump, positions=np.asarray(res.positions),
+                 accept=np.asarray(res.accept_prob))
     out = {
         "metric": f"bayes1m_chees_whittle_n{n}_c{n_chains}",
         "value": round(total_draws / wall, 1),

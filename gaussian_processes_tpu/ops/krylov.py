@@ -247,8 +247,36 @@ def pivoted_cholesky(
     return L
 
 
+def effective_precond_shift(L: jax.Array, sigma2, allreduce=None,
+                            floor_factor: float = 1.5e3):
+    """Damped Woodbury shift: max(sigma2, floor_factor * eps * lam_max).
+
+    Why (round-3 chip finding): the Woodbury apply's final
+    ``(v - L M^-1 L^T v) / sigma2`` amplifies its own f32 rounding by
+    ~||K||/sigma2 in the directions the system operator then re-amplifies.
+    At n=65536 (lam_max ~ 1.5e3, sigma2 ~ 1e-2) that noise is O(1) in the
+    A-norm and CG stalls outright at ~1e-1 on TPU (a 0.28% difference in
+    the preconditioned vector moved the one-step residual 7x).  Flooring
+    the shift at ~1e3 * eps * lam_max caps the amplification at ~1e-3:
+    measured on chip, the same solve went from flat 1.3e-1 to 5e-14 in 50
+    iterations.  The floor only weakens the preconditioner when
+    sigma2 < eps * cond-scale — exactly where the undamped version is
+    numerically fictional anyway.  lam_max is estimated by the first
+    pivot column's squared norm (the pivoted factor's largest column).
+    """
+    lam = jnp.sum(jnp.square(L[:, 0]))
+    if allreduce is not None:
+        lam = allreduce(lam)
+    eps = jnp.finfo(L.dtype).eps
+    return jnp.maximum(
+        jnp.asarray(sigma2, L.dtype),
+        jnp.asarray(floor_factor, L.dtype) * eps * lam,
+    )
+
+
 def woodbury_inverse_apply(L: jax.Array, sigma2, allreduce=None) -> "callable":
-    """Return v -> (L L^T + sigma2 I)^-1 v via the Woodbury identity.
+    """Return v -> (L L^T + shift I)^-1 v via the Woodbury identity,
+    with shift = effective_precond_shift(L, sigma2) (damped — see there).
 
     Precomputes the (k, k) capacitance Cholesky once; each apply is
     2 n k flops — cheap relative to a kernel matvec.
@@ -256,21 +284,39 @@ def woodbury_inverse_apply(L: jax.Array, sigma2, allreduce=None) -> "callable":
     With ``allreduce`` (psum over the shard axis), ``L`` and ``v`` may be
     row shards of the global operands: the two L^T-contractions are the
     only cross-row reductions, so the sharded apply is exact.
-    """
-    from jax.scipy.linalg import cho_factor, cho_solve
 
+    The SLQ companion functions (``precond_logdet``,
+    ``sample_precond_probes``) apply the SAME shift, so the
+    preconditioned-SLQ identity stays exact under damping.
+    """
     red = allreduce if allreduce is not None else (lambda a: a)
     k = L.shape[1]
-    sigma2 = jnp.asarray(sigma2, L.dtype)
+    sigma2 = effective_precond_shift(L, sigma2, allreduce=allreduce)
     hi = lax.Precision.HIGHEST
     M = sigma2 * jnp.eye(k, dtype=L.dtype) + red(
         jnp.dot(L.T, L, precision=hi)
     )
-    cf = cho_factor(M)
+    # Capacitance inverse via a ONE-TIME triangular inverse, applied as
+    # controlled-precision matmuls.  Why not cho_solve per apply
+    # (round-3 chip finding): on TPU the TriangularSolve expansion runs
+    # its internal matmuls at DEFAULT (single-pass bf16) precision with
+    # no JAX-level override, so each preconditioner apply carried
+    # noise that VARIED with the right-hand side — an INCONSISTENT
+    # preconditioner, which breaks CG outright (the 65k ND-SKI chip
+    # solve sat at 1e-1 while the same program on CPU reached 4e-6).
+    # M^-1 = (Lm^-1)^T (Lm^-1) built from a fixed triangular inverse is
+    # the same SPD matrix every iteration — whatever the one-time
+    # inversion error, that is all CG requires of a preconditioner.
+    Lm = jnp.linalg.cholesky(M)
+    Lm_inv = jax.scipy.linalg.solve_triangular(
+        Lm, jnp.eye(k, dtype=L.dtype), lower=True
+    )
 
     def apply(v):
         Ltv = red(jnp.dot(L.T, v, precision=hi))
-        return (v - jnp.dot(L, cho_solve(cf, Ltv), precision=hi)) / sigma2
+        t = jnp.dot(Lm_inv, Ltv, precision=hi)
+        MLtv = jnp.dot(Lm_inv.T, t, precision=hi)
+        return (v - jnp.dot(L, MLtv, precision=hi)) / sigma2
 
     return apply
 
@@ -408,14 +454,15 @@ def pcg(
 
 
 def precond_logdet(L: jax.Array, sigma2, n: int, allreduce=None) -> jax.Array:
-    """Exact logdet(L L^T + sigma2 I) via the matrix determinant lemma:
-    logdet = logdet(sigma2 I_k + L^T L) + (n - k) log(sigma2).
+    """Exact logdet(L L^T + shift I) via the matrix determinant lemma:
+    logdet = logdet(shift I_k + L^T L) + (n - k) log(shift), with the
+    same damped shift as ``woodbury_inverse_apply``.
 
     ``n`` is always the GLOBAL row count; with ``allreduce``, ``L`` may be
     a row shard (L^T L is psum-reduced)."""
     red = allreduce if allreduce is not None else (lambda a: a)
     k = L.shape[1]
-    sigma2 = jnp.asarray(sigma2, L.dtype)
+    sigma2 = effective_precond_shift(L, sigma2, allreduce=allreduce)
     hi = lax.Precision.HIGHEST
     M = sigma2 * jnp.eye(k, dtype=L.dtype) + red(
         jnp.dot(L.T, L, precision=hi)
@@ -425,12 +472,13 @@ def precond_logdet(L: jax.Array, sigma2, n: int, allreduce=None) -> jax.Array:
 
 
 def sample_precond_probes(key, L: jax.Array, sigma2, num_probes: int):
-    """Draw z ~ N(0, P) with P = L L^T + sigma2 I:  z = L xi1 + sqrt(s2) xi2."""
+    """Draw z ~ N(0, P), P = L L^T + shift I (same damped shift as the
+    apply):  z = L xi1 + sqrt(shift) xi2."""
     n, k = L.shape
     k1, k2 = jax.random.split(key)
     xi1 = jax.random.normal(k1, (k, num_probes), L.dtype)
     xi2 = jax.random.normal(k2, (n, num_probes), L.dtype)
-    sigma = jnp.sqrt(jnp.asarray(sigma2, L.dtype))
+    sigma = jnp.sqrt(effective_precond_shift(L, sigma2))
     return jnp.dot(L, xi1, precision=lax.Precision.HIGHEST) + sigma * xi2
 
 

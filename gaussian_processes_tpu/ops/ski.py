@@ -490,12 +490,20 @@ def _tf_matvec(plan: SKICompPlan, gh: jax.Array, gl: jax.Array):
     return h, l
 
 
-def ski_kron_residual_compensated(
+def ski_kron_apply_compensated(
     plan: SKICompPlan, colpairs, sizes, shift_pair, xv: jax.Array,
-    b: jax.Array,
-) -> jax.Array:
-    """f32 residual b - (W ((x)_d T_d) W^T + shift I) x, evaluated in
-    double-f32 end to end (error ~1e-7 relative instead of ~1e-4)."""
+):
+    """(W ((x)_d T_d) W^T + shift I) x in double-f32; returns the pair.
+
+    Beyond residual evaluation, this is also the CG matvec of choice on
+    TPU for directions with heavy cancellation: measured round 3, the
+    plain FFT matvec applied to the preconditioner's output direction
+    carries 5e-3 relative error on chip (||A p|| is ~100x below
+    ||A||*||p||, so transform rounding dominates the output), which
+    makes p^T A p sign-noise and freezes the f32 CG.  This apply is
+    per-output-relative accurate (~1e-8), so CG sees a consistent
+    operator.
+    """
     from gaussian_processes_tpu.ops import twofloat as tf
 
     uh, ul = _tf_rmatvec(plan, xv)
@@ -504,7 +512,18 @@ def ski_kron_residual_compensated(
     sh, sl = shift_pair
     p, e = tf.two_prod(jnp.float32(sh), xv)
     e = e + jnp.float32(sl) * xv
-    oh, ol = tf.tf_add(oh, ol, p, e)
+    return tf.tf_add(oh, ol, p, e)
+
+
+def ski_kron_residual_compensated(
+    plan: SKICompPlan, colpairs, sizes, shift_pair, xv: jax.Array,
+    b: jax.Array,
+) -> jax.Array:
+    """f32 residual b - (W ((x)_d T_d) W^T + shift I) x, evaluated in
+    double-f32 end to end (error ~1e-7 relative instead of ~1e-4)."""
+    from gaussian_processes_tpu.ops import twofloat as tf
+
+    oh, ol = ski_kron_apply_compensated(plan, colpairs, sizes, shift_pair, xv)
     rh, rl = tf.tf_add(b, jnp.zeros_like(b), -oh, -ol)
     return rh + rl
 
@@ -576,18 +595,26 @@ def ski_kron_refine(
     sh = np.float32(shift64)
     shift_pair = (sh, np.float32(shift64 - float(sh)))
 
-    cols32 = [ch for ch, _ in colpairs]  # f32 hi parts drive the CG matvec
-
+    # the CORRECTION solves use the compensated apply as their matvec:
+    # on TPU the plain FFT matvec's error on preconditioned directions
+    # (5e-3 relative, heavy cancellation) freezes f32 CG outright —
+    # see ski_kron_apply_compensated.  The per-iteration cost is two
+    # 128-step two-float scans; for a post-fit polish that is cheap.
     def mv(v):
-        return ski_kron_matvec(op, cols32, v, shift=shift64)
+        mat = v.ndim == 2  # pcg passes (n, 1); the tf apply is (n,)
+        oh, ol = ski_kron_apply_compensated(
+            plan, colpairs, sizes, shift_pair, v[:, 0] if mat else v
+        )
+        out = oh + ol
+        return out[:, None] if mat else out
 
     # preconditioner on the SCATTERED inputs (same as fit_iterative)
     L = krylov.pivoted_cholesky(kernel, jnp.asarray(x), precond_rank)
     pre = krylov.woodbury_inverse_apply(L, jnp.float32(shift64))
 
     # residual of the PAIR (ah, al): the compensated evaluation at ah
-    # minus a plain f32 operator application to the tiny lo half —
-    # ||al|| ~ eps ||a||, so the f32 error of mv(al) is second-order
+    # minus an operator application to the tiny lo half — ||al|| ~
+    # eps ||a||, so its apply error is second-order
     resid_j = jax.jit(lambda ah, al, b_: ski_kron_residual_compensated(
         plan, colpairs, sizes, shift_pair, ah, b_) - mv(al))
     solve_j = jax.jit(lambda r: krylov.pcg(

@@ -174,9 +174,14 @@ def fit_iterative_sharded(
                 mv, pre, y_loc[:, None], num_iters=num_iters, tol=tol,
                 allreduce=red,
             )
+            # damped shift, consistent with apply/logdet (see krylov.
+            # effective_precond_shift)
+            shift_eff = krylov.effective_precond_shift(
+                L, sigma2, allreduce=red
+            )
             probes_loc = (
                 jnp.dot(L, xi1, precision=lax.Precision.HIGHEST)
-                + jnp.sqrt(sigma2) * xi2_loc
+                + jnp.sqrt(shift_eff) * xi2_loc
             )
             logdet = krylov.slq_logdet_preconditioned(
                 mv, L, sigma2, None, num_probes, num_iters, n,
@@ -332,9 +337,13 @@ def _vg_local(
         )
         alpha_loc = sol[:, 0]
         Kinv_z_loc = sol[:, 1:]
+        # same DAMPED shift as the apply/logdet (krylov.
+        # effective_precond_shift) — P must be one consistent matrix
+        # across probes, apply, and correction for the SLQ identity
+        shift_eff = krylov.effective_precond_shift(L, sigma2, allreduce=red)
         slq_probes = (
             jnp.dot(L, xi1, precision=lax.Precision.HIGHEST)
-            + jnp.sqrt(sigma2) * xi2_loc
+            + jnp.sqrt(shift_eff) * xi2_loc
         )
         logdet = krylov.slq_logdet_preconditioned(
             mv, L, sigma2, None, num_probes, num_iters, n,

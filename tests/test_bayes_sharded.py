@@ -39,9 +39,14 @@ from gaussian_processes_tpu.parallel.sharded import (
 )
 from gaussian_processes_tpu.utils.testing import make_xy
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs the 8-device virtual mesh"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        len(jax.devices()) < 8, reason="needs the 8-device virtual mesh"
+    ),
+    # slow tier (VERDICT r2 item 8): ~6 min on 4 host cores; `make
+    # test-all` / CI
+    pytest.mark.slow,
+]
 
 PK = jax.random.key(42)
 

@@ -28,6 +28,11 @@ from gaussian_processes_tpu.inference import (
 )
 from gaussian_processes_tpu.inference.chees import sample_chees
 from gaussian_processes_tpu.inference.diagnostics import summarize
+import pytest
+
+# slow tier (VERDICT r2 item 8): minutes-long on 4 host cores; run via
+# `make test-all` / CI. The default `make test` gate stays < 10 min.
+pytestmark = pytest.mark.slow
 
 
 def _problem(n=300, seed=0):
