@@ -34,23 +34,30 @@ PREC = lax.Precision.HIGH
 
 
 def gemm_chain(A):
-    """The leftlook GEMM shapes with a data dependency through each."""
+    """The leftlook GEMM shapes, every output fully consumed.
+
+    A first version fed only a (BASE, BASE) corner of each GEMM into the
+    chain and XLA narrowed the dots through the slices (the probe
+    measured BELOW the dispatch floor).  Each product is now reduced in
+    full, and the reduction feeds the next GEMM's scaling so the chain
+    stays data-dependent.
+    """
     n = A.shape[0]
-    acc = A[:BASE, :BASE]
+    acc = jnp.float32(1.0)
     for k in range(1, n // BASE):
         r = k * BASE
         # left-looking update GEMM: (n-r, r) @ (r, BASE)
-        strip = jnp.dot(A[r:, :r], A[:r, r:r + BASE],
+        strip = jnp.dot(A[r:, :r] * acc, A[:r, r:r + BASE],
                         preferred_element_type=jnp.float32, precision=PREC)
+        s1 = jnp.sum(strip)
         # panel scaling GEMM: (n-r-BASE, BASE) @ (BASE, BASE)
         if r + BASE < n:
-            rest = jnp.dot(strip[BASE:], acc,
+            rest = jnp.dot(strip[BASE:], A[:BASE, :BASE],
                            preferred_element_type=jnp.float32,
                            precision=PREC)
-            acc = rest[:BASE, :BASE] + acc
-        else:
-            acc = strip[:BASE, :BASE] + acc
-    return jnp.sum(acc)
+            s1 = s1 + jnp.sum(rest)
+        acc = 1.0 + s1 * 1e-30  # tiny data dependency, value ~1
+    return acc
 
 
 def main():
