@@ -380,10 +380,16 @@ def bench_whittle():
     med2, out2 = _probe_walls(jax, vg2, inputs2)
     _, g2v = out2
     assert bool(jnp.all(jnp.isfinite(g2v))), "non-finite 2d whittle grad"
+    vs2 = _cpu_vs("whittle2d", med2 - floor)
+    extra2 = {}
+    if vs2 is None:
+        # sub-floor device time: the raw wall (dispatch + compute) still
+        # upper-bounds it, so cpu/raw is an honest LOWER bound
+        extra2["vs_baseline_lower_bound"] = _cpu_vs("whittle2d", med2)
     _emit({"metric": f"whittle2d_logpost_vg_n{npd * npd}_{DTYPE}_wall",
            "value": round(med2 - floor, 5), "unit": "s",
            "wall_raw": round(med2, 5), "floor": round(floor, 5),
-           "vs_baseline": _cpu_vs("whittle2d", med2 - floor)})
+           "vs_baseline": vs2, **extra2})
 
 
 def bench_ski():
@@ -598,13 +604,14 @@ def bench_chees():
     _fetch(jax, jnp.sum(state.chains.z))
     wall = time.perf_counter() - t0
     nl_sum = float(sum(float(jnp.sum(c)) for c in nl_chunks))
+    rate = n_samp * n_chains / wall
     _emit({"metric": f"chees_gp_hyper_n{n}_c{n_chains}_{DTYPE}",
-           "value": round(n_samp * n_chains / wall, 2),
+           "value": round(rate, 2),
            "unit": "samples/s", "wall_raw": round(wall, 3),
            "mean_leapfrog": round(nl_sum / n_samp, 1),
            "step_size": round(float(jnp.mean(state.step_size)), 5),
            "protocol": "warmup200+collect200/chunk25/adapt_traj=False",
-           "vs_baseline": None})
+           "vs_baseline": _cpu_vs("chees", 1.0 / rate)})
 
 
 def bench_nuts():
@@ -632,12 +639,13 @@ def bench_nuts():
     # (VERDICT r2 weak #6 — keep the premise measured)
     nl = jnp.asarray(r.num_leapfrog, jnp.float32)  # (num_samples, C)
     util_lane = float(jnp.mean(nl) / jnp.mean(jnp.max(nl, axis=1)))
+    rate = n_samp * n_chains / wall
     _emit({"metric": f"nuts_gp_hyper_n{n}_c{n_chains}_{DTYPE}",
-           "value": round(n_samp * n_chains / wall, 2),
+           "value": round(rate, 2),
            "unit": "samples/s", "wall_raw": round(wall, 3),
            "mean_leapfrog": round(float(jnp.mean(nl)), 1),
            "lane_utilization": round(util_lane, 3),
-           "vs_baseline": None})
+           "vs_baseline": _cpu_vs("nuts", 1.0 / rate)})
 
 
 _SECTIONS = {

@@ -176,14 +176,17 @@ def main():
         ("sgpr", run_sgpr),
         ("whittle", run_whittle),
         ("whittle2d", run_whittle2d),
+        ("chees", run_chees_cpu),
+        ("nuts", run_nuts_cpu),
     ):
         if only and key not in only:
             continue
         try:
             t = fn()
-            out[key] = {"total_s": t,
-                        "method": "same algorithm, XLA-CPU f64, exact "
-                                  "bench.py config"}
+            method = ("same algorithm+protocol, XLA-CPU f32, seconds "
+                      "per sample" if key in ("chees", "nuts") else
+                      "same algorithm, XLA-CPU f64, exact bench.py config")
+            out[key] = {"total_s": t, "method": method}
             print(json.dumps({key: out[key]}), flush=True)
         except Exception as e:  # noqa: BLE001 - record and continue
             print(f"# {key} failed: {e!r}", flush=True)
@@ -192,6 +195,89 @@ def main():
         json.dump(out, f, indent=1)
     print("wrote", out_path)
 
+
+
+
+def run_chees_cpu():
+    """Same-protocol ChEES collection throughput on CPU (f32, matching
+    bench.py's chip protocol: 200 warmup, 200 timed draws, 64 chains)."""
+    import time as _t
+
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from gaussian_processes_tpu import GaussianKernel
+    from gaussian_processes_tpu.inference import (
+        init_positions, make_log_posterior,
+    )
+    import gaussian_processes_tpu.inference.chees as chees_mod
+    from gaussian_processes_tpu.inference.chees import sample_chees
+
+    n, n_chains, n_samp = 500, 64, 200
+    rng = np.random.default_rng(0)
+    x = np.sort(rng.uniform(-np.pi, np.pi, n)).astype(np.float32)
+    y = (np.sin(2 * x) + 0.1 * rng.standard_normal(n)).astype(np.float32)
+    k0 = GaussianKernel(h=_jnp.asarray(1.0, _jnp.float32),
+                        w=_jnp.asarray(1.0, _jnp.float32))
+    log_post = make_log_posterior(k0, x, y, prior_std=1.5, jitter=1e-5)
+    k1, k2 = _jax.random.split(_jax.random.key(0))
+    init = init_positions(k0, 0.2, k1, n_chains=n_chains, spread=0.2,
+                          dtype=_jnp.float32)
+    r = sample_chees(log_post, init, k2, num_warmup=200, num_samples=10,
+                     init_step_size=0.05, chunk_size=25)
+    _jax.block_until_ready(r.positions)
+    state = r.final
+
+    def cstep(s, _):
+        s, info = chees_mod.chees_step(log_post, s, adapt_traj=False,
+                                       max_leapfrog=1000)
+        return s, info.num_leapfrog
+
+    run = _jax.jit(lambda s, n_: _jax.lax.scan(cstep, s, None, length=n_),
+                   static_argnums=1)
+    state, _ = run(state, 25)
+    _jax.block_until_ready(state.chains.z)
+    t0 = _t.perf_counter()
+    done = 0
+    while done < n_samp:
+        state, _ = run(state, 25)
+        done += 25
+    _jax.block_until_ready(state.chains.z)
+    wall = _t.perf_counter() - t0
+    return wall / (n_samp * n_chains)  # seconds per sample
+
+
+def run_nuts_cpu():
+    import time as _t
+
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from gaussian_processes_tpu import GaussianKernel
+    from gaussian_processes_tpu.inference import (
+        collect, init_positions, make_log_posterior, warmup,
+    )
+
+    n, n_chains, n_samp = 500, 64, 200
+    rng = np.random.default_rng(0)
+    x = np.sort(rng.uniform(-np.pi, np.pi, n)).astype(np.float32)
+    y = (np.sin(2 * x) + 0.1 * rng.standard_normal(n)).astype(np.float32)
+    k0 = GaussianKernel(h=_jnp.asarray(1.0, _jnp.float32),
+                        w=_jnp.asarray(1.0, _jnp.float32))
+    log_post = make_log_posterior(k0, x, y, prior_std=1.5, jitter=1e-5)
+    k1, k2 = _jax.random.split(_jax.random.key(0))
+    init = init_positions(k0, 0.2, k1, n_chains=n_chains, spread=0.2,
+                          dtype=_jnp.float32)
+    state = warmup(log_post, init, k2, num_warmup=200, max_depth=8,
+                   init_step_size=0.05, chunk_size=10)
+    _jax.block_until_ready(state.chains.z)
+    r = collect(log_post, state, 10, max_depth=8, chunk_size=10)
+    _jax.block_until_ready(r.positions)
+    t0 = _t.perf_counter()
+    r = collect(log_post, r.final, n_samp, max_depth=8, chunk_size=10)
+    _jax.block_until_ready(r.positions)
+    wall = _t.perf_counter() - t0
+    return wall / (n_samp * n_chains)
 
 if __name__ == "__main__":
     main()
