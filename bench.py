@@ -223,15 +223,20 @@ def bench_chol():
     t_xla, raw_xla = probe(jnp.linalg.cholesky)
     t_blk, raw_blk = probe(lambda A: cholesky_blocked(A, base=base, algo=algo))
     flops = n**3 / 3
+    # sub-floor walls (med <= dispatch floor) make the derived ratios
+    # meaningless — emit None for them, keeping raw wall + floor archived
+    # (same guard as _cpu_vs / bench_fit)
     _emit({"metric": f"cholesky_xla_n{n}_dev", "value": round(t_xla, 5),
-           "unit": "s", "tflops": round(flops / t_xla / 1e12, 1),
+           "unit": "s",
+           "tflops": round(flops / t_xla / 1e12, 1) if t_xla > 0 else None,
            "wall_raw": round(raw_xla, 5), "floor": round(floor, 5),
            "vs_baseline": None})
     _emit({"metric": f"cholesky_blocked{base}_{algo}_n{n}_dev",
            "value": round(t_blk, 5), "unit": "s",
-           "tflops": round(flops / t_blk / 1e12, 1),
+           "tflops": round(flops / t_blk / 1e12, 1) if t_blk > 0 else None,
            "wall_raw": round(raw_blk, 5), "floor": round(floor, 5),
-           "vs_baseline": round(t_xla / t_blk, 2)})
+           "vs_baseline": round(t_xla / t_blk, 2)
+           if t_blk > 0 and t_xla > 0 else None})
 
 
 def bench_iterative():

@@ -74,19 +74,23 @@ def main():
 
     t0 = time.perf_counter()
     # chunk small: one chunk of draws x leapfrogs x 2^20-point FFTs must
-    # stay well under the tunnel watchdog's single-execution budget
-    # (chunk_size=50 with max_leapfrog=64 crashed the TPU worker)
+    # stay well under the tunnel watchdog's single-execution budget,
+    # measured in chunk*max_leapfrog leapfrog-draws: 50*64=3200 crashed
+    # the worker (round 2), 10*128=1280 crashed reproducibly (round 4),
+    # 10*32=320 and 2*128=256 run fine — so keep chunk*max_leapfrog
+    # at or below ~320
     # max_leapfrog must admit trajectories ~ the posterior scale: the
     # round-3 diagnosis run (32 x step 0.005 = 0.16 log-units vs log-h
     # posterior sd ~0.19) had every chain moving and accepting (min
     # chain accept 0.83, 0 frozen) yet ESS ~ 1/chain — pure random-walk
     # behavior from capped trajectories, presenting as R-hat = inf
     max_lf = int(os.environ.get("D1M_MAX_LEAPFROG", 128))
+    chunk = int(os.environ.get("D1M_CHUNK", 2))
     res = sample_chees(
         log_post, init, k2,
         num_warmup=num_warmup, num_samples=num_samples,
         init_step_size=step0, init_traj_length=0.1,
-        max_leapfrog=max_lf, chunk_size=10,
+        max_leapfrog=max_lf, chunk_size=chunk,
     )
     # fetch-synchronize: the tunnel's block_until_ready returns before
     # pending work completes (bench.py header, round 3)

@@ -102,6 +102,26 @@ class ARDGaussianKernel(Kernel):
             [dh[None], jnp.moveaxis(dw, -1, 0)], axis=0
         )  # (1 + D, n, m)
 
+    def hessian_pair(self, x1, x2, p, q):
+        """See Kernel.hessian_pair — builds only the requested (n, m)
+        slice; the fused ``hessian`` below materializes the full
+        (1+D, 1+D, n, m) stack, which the chunked log-lh Hessian must
+        avoid (ADVICE r3)."""
+        i, j = (p, q) if p <= q else (q, p)
+        s = self._sq(x1, x2)  # (n, m, D)
+        E = jnp.exp(-0.5 * jnp.sum(s, axis=-1))
+        if i == 0 and j == 0:
+            return 2.0 * E
+        t = s / self.w[None, None, :]
+        if i == 0:  # h x w_{j-1} cross term
+            return 2.0 * self.h * E * t[..., j - 1]
+        d_, e_ = i - 1, j - 1
+        h2E = jnp.square(self.h) * E
+        val = h2E * t[..., d_] * t[..., e_]
+        if d_ == e_:
+            val = val - h2E * 3.0 * s[..., d_] / jnp.square(self.w[d_])
+        return val
+
     def hessian(self, x1, x2):
         s = self._sq(x1, x2)
         E = jnp.exp(-0.5 * jnp.sum(s, axis=-1))

@@ -107,6 +107,28 @@ class Kernel(abc.ABC):
         d = pairwise_diff(x1, x2)
         return jnp.stack(self.jac_fn(d, *self._param_values()))
 
+    def hessian_pair(self, x1: jax.Array, x2: jax.Array,
+                     p: int, q: int) -> jax.Array:
+        """One (n, m) slice H[p, q] = d2K/(dtheta_p dtheta_q); p, q are
+        static Python ints.
+
+        The chunked log-likelihood Hessian (models/gp.py::
+        _hessian_from_pieces_chunked) streams parameter pairs through
+        this method; its one-slice-at-a-time peak-memory bound holds
+        only if the implementation emits JUST the requested slice.
+        This default picks a single closed-form expression out of
+        ``hess_fn``'s upper-triangle tuple — the sibling expressions
+        are independent elementwise ops XLA dead-code-eliminates under
+        jit.  Kernels that override ``hessian`` with a fused/batched
+        computation MUST override this too, or the chunked path
+        silently re-materializes the (P, P, n, m) stack it exists to
+        avoid (ADVICE r3; overrides: ard.py, composite.py)."""
+        d = pairwise_diff(x1, x2)
+        tri = self.hess_fn(d, *self._param_values())
+        i, j = (p, q) if p <= q else (q, p)
+        P = self.n_params
+        return tri[i * P - (i * (i - 1)) // 2 + (j - i)]
+
     def hessian(self, x1: jax.Array, x2: jax.Array) -> jax.Array:
         """d2K/dtheta2; shape (P, P, n, m), symmetric in the first two axes."""
         d = pairwise_diff(x1, x2)

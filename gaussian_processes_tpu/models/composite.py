@@ -118,6 +118,18 @@ class SumKernel(_CompositeKernel):
         H = H.at[P1:, P1:].set(H2)
         return H
 
+    def hessian_pair(self, x1, x2, p, q):
+        """See Kernel.hessian_pair — one (n, m) slice; cross blocks of a
+        sum kernel are identically zero (ADVICE r3)."""
+        i, j = (p, q) if p <= q else (q, p)
+        P1 = self.k1.n_params
+        if j < P1:
+            return self.k1.hessian_pair(x1, x2, i, j)
+        if i >= P1:
+            return self.k2.hessian_pair(x1, x2, i - P1, j - P1)
+        n, m = jnp.asarray(x1).shape[0], jnp.asarray(x2).shape[0]
+        return jnp.zeros((n, m), self.k1.hessian_pair(x1, x2, 0, 0).dtype)
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -154,3 +166,18 @@ class ProductKernel(_CompositeKernel):
         H = H.at[:P1, P1:].set(cross)
         H = H.at[P1:, :P1].set(jnp.swapaxes(cross, 0, 1))
         return H
+
+    def hessian_pair(self, x1, x2, p, q):
+        """See Kernel.hessian_pair — one (n, m) slice of the product
+        rule (ADVICE r3)."""
+        i, j = (p, q) if p <= q else (q, p)
+        P1 = self.k1.n_params
+        if j < P1:
+            return self.k1.hessian_pair(x1, x2, i, j) * self.k2(x1, x2)
+        if i >= P1:
+            return self.k1(x1, x2) * self.k2.hessian_pair(
+                x1, x2, i - P1, j - P1)
+        # cross block: dK1/dtheta_i * dK2/dtheta_{j-P1}; indexing the
+        # jacobian stack lets XLA DCE the sibling rows under jit
+        return (self.k1.jacobian(x1, x2)[i]
+                * self.k2.jacobian(x1, x2)[j - P1])

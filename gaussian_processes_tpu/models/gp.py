@@ -376,13 +376,14 @@ def _hessian_from_pieces_chunked(kernel, x, noise, alpha, inv_K, J, dtype):
     """Pair-at-a-time Hessian assembly — same math as
     ``_hessian_from_pieces`` with the (T, T, n, n) stack never built.
 
-    Each kernel-parameter pair's (n, n) slice ``H[p, q]`` is consumed
-    immediately into two scalars (the alpha quadratic form and the
-    trace term); indexing ``kernel.hessian(x, x)[p, q]`` inside the
-    traced function lets XLA dead-code-eliminate every other slice, so
-    peak memory holds ONE pair at a time.  The noise block is analytic
-    (d2K/ds2 = 2 I, cross terms zero), exactly as in ``_full_hessian``.
-    Equality with the dense assembly is gated in tests/test_gp.py.
+    Each kernel-parameter pair's (n, n) slice — built by
+    ``kernel.hessian_pair(x, x, p, q)``, the per-pair kernel API whose
+    contract (Kernel.hessian_pair docstring) is to emit JUST that slice
+    — is consumed immediately into two scalars (the alpha quadratic
+    form and the trace term), so peak memory holds ONE pair at a time.
+    The noise block is analytic (d2K/ds2 = 2 I, cross terms zero),
+    exactly as in ``_full_hessian``.  Equality with the dense assembly
+    is gated in tests/test_gp.py.
     """
     P = kernel.n_params
     T = P + 1
@@ -397,7 +398,7 @@ def _hessian_from_pieces_chunked(kernel, x, noise, alpha, inv_K, J, dtype):
     t14 = jnp.zeros((T, T), dtype=dtype)
     for p in range(P):
         for q in range(p, P):
-            Hpq = kernel.hessian(x, x)[p, q]               # one (n, n) slice
+            Hpq = kernel.hessian_pair(x, x, p, q)          # one (n, n) slice
             t1 = 0.5 * jnp.dot(alpha, jnp.matmul(Hpq, alpha))
             t4 = -0.5 * jnp.sum(inv_K * Hpq.T)             # tr(K^-1 H_pq)
             t14 = t14.at[p, q].add(t1 + t4)

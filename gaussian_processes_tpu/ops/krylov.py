@@ -358,8 +358,11 @@ def pcg(
     f32 FFT matvec error is ~4e-7, measured in probe_fft_prec).  Costs
     one extra matvec per k iterations; van der Vorst/Sleijpen-style
     infrequent replacement (k ~ 25-50) preserves CG convergence.
-    Incompatible with ``return_tridiag`` (replacement invalidates the
-    Lanczos coefficients).
+    Replacement is masked to still-active columns, so frozen columns
+    (converged or broken down) are never revived and the early_exit
+    bit-identity guarantee above is preserved.  Incompatible with
+    ``return_tridiag`` (replacement invalidates the Lanczos
+    coefficients).
     """
     if early_exit and return_tridiag:
         raise ValueError("early_exit does not collect tridiagonals")
@@ -380,13 +383,20 @@ def pcg(
     b_norm = jnp.sqrt(jnp.maximum(colsum(rhs * rhs), 1e-30))
 
     def body(carry, i):
-        x, res, p, rz, x_best, rn_best = carry
+        x, res, p, rz, x_best, rn_best, act_prev = carry
         if replace_every:
             def _replace(args):
                 x, res, p, rz = args
                 res_t = rhs - matvec(x)
                 z_t = precond(res_t)
-                return res_t, z_t, colsum(res_t * z_t)
+                # replacement only where the column is still active: a
+                # column frozen by convergence or breakdown keeps its
+                # state, preserving the monotone-freeze invariant that
+                # early_exit's loop condition relies on (ADVICE r3)
+                res_n = jnp.where(act_prev[None, :], res_t, res)
+                p_n = jnp.where(act_prev[None, :], z_t, p)
+                rz_n = jnp.where(act_prev, colsum(res_t * z_t), rz)
+                return res_n, p_n, rz_n
 
             def _keep(args):
                 x, res, p, rz = args
@@ -399,12 +409,16 @@ def pcg(
         Ap = matvec(p)
         pAp = colsum(p * Ap)
         rn = jnp.sqrt(colsum(res * res))
+        # & act_prev makes freezing explicitly monotone (a no-op without
+        # replacement: a frozen column's state is unchanged, so the
+        # recomputed conditions reproduce the frozen verdict)
         active = (
             (rn / b_norm > tol)
             & (pAp > 0)
             & jnp.isfinite(pAp)
             & jnp.isfinite(rz)
             & (rn < 1e2 * rn_best + 1e-30)
+            & act_prev
         )
         alpha = jnp.where(active, rz / jnp.where(active, pAp, 1.0), 0.0)
         x = x + alpha[None, :] * p
@@ -418,9 +432,12 @@ def pcg(
         better = rn_new < rn_best
         x_best = jnp.where(better[None, :], x, x_best)
         rn_best = jnp.where(better, rn_new, rn_best)
-        return (x, res, p, rz_new, x_best, rn_best), (alpha, beta, active)
+        return ((x, res, p, rz_new, x_best, rn_best, active),
+                (alpha, beta, active))
 
-    init = (x0, r0, p0, rz0, x0, jnp.sqrt(colsum(r0 * r0)))
+    r = rhs.shape[1]
+    init = (x0, r0, p0, rz0, x0, jnp.sqrt(colsum(r0 * r0)),
+            jnp.ones((r,), bool))
     if early_exit:
         # the loop condition consumes the PREVIOUS iteration's active
         # mask (freezing is monotone — a frozen column's state stops
@@ -429,23 +446,20 @@ def pcg(
         # non-finite BREAKDOWN freezes: broken-down columns kept
         # rn > tol forever and the "early exit" burned the full
         # num_iters budget of frozen no-op matvecs (round-2 review).
-        r = rhs.shape[1]
-
         def cond(state):
-            i, _, active_prev = state
-            return (i < num_iters) & jnp.any(active_prev)
+            i, carry = state
+            return (i < num_iters) & jnp.any(carry[-1])
 
         def wbody(state):
-            i, carry, _ = state
-            carry, (_, _, active) = body(carry, i)
-            return i + 1, carry, active
+            i, carry = state
+            carry, _ = body(carry, i)
+            return i + 1, carry
 
-        _, (x, res, _, _, x_best, rn_best), _ = lax.while_loop(
-            cond, wbody,
-            (jnp.zeros((), jnp.int32), init, jnp.ones((r,), bool)),
+        _, (x, res, _, _, x_best, rn_best, _) = lax.while_loop(
+            cond, wbody, (jnp.zeros((), jnp.int32), init),
         )
         return x_best, rn_best / b_norm
-    (x, res, _, _, x_best, rn_best), (alphas, betas, _) = lax.scan(
+    (x, res, _, _, x_best, rn_best, _), (alphas, betas, _) = lax.scan(
         body, init, jnp.arange(num_iters)
     )
     if return_tridiag:
@@ -471,14 +485,24 @@ def precond_logdet(L: jax.Array, sigma2, n: int, allreduce=None) -> jax.Array:
     return 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lm))) + (n - k) * jnp.log(sigma2)
 
 
-def sample_precond_probes(key, L: jax.Array, sigma2, num_probes: int):
+def sample_precond_probes(key, L: jax.Array, sigma2, num_probes: int,
+                          allreduce=None):
     """Draw z ~ N(0, P), P = L L^T + shift I (same damped shift as the
-    apply):  z = L xi1 + sqrt(shift) xi2."""
+    apply):  z = L xi1 + sqrt(shift) xi2.
+
+    In sharded contexts pass ``allreduce`` so the damped shift is
+    computed from the GLOBAL ||L[:, 0]||^2 — otherwise each shard would
+    draw probes from a different P than the apply/logdet use (ADVICE
+    r3).  ``key`` must then be identical across shards and ``L`` the
+    local row shard; xi2 is drawn per-shard from the shared key, so
+    callers that need independent per-row noise across shards should
+    fold the shard index into ``key`` for xi2 themselves (the in-repo
+    sharded path builds probes manually — iterative_sharded.py:300)."""
     n, k = L.shape
     k1, k2 = jax.random.split(key)
     xi1 = jax.random.normal(k1, (k, num_probes), L.dtype)
     xi2 = jax.random.normal(k2, (n, num_probes), L.dtype)
-    sigma = jnp.sqrt(effective_precond_shift(L, sigma2))
+    sigma = jnp.sqrt(effective_precond_shift(L, sigma2, allreduce=allreduce))
     return jnp.dot(L, xi1, precision=lax.Precision.HIGHEST) + sigma * xi2
 
 

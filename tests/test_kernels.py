@@ -154,3 +154,45 @@ def test_kernel_symmetry_and_diagonal():
         # PSD up to jitter
         evals = np.linalg.eigvalsh(np.asarray(K))
         assert evals.min() > -1e-8
+
+
+def test_hessian_pair_matches_hessian_all_families():
+    """kernel.hessian_pair(x1, x2, p, q) == kernel.hessian(x1, x2)[p, q]
+    for every parameter pair, across every kernel family — the contract
+    the chunked log-lh Hessian assembly relies on (ADVICE r3).  Covers
+    the base-class tri-slice default, the ARD override, and the
+    Sum/Product composite overrides (incl. zero/cross blocks)."""
+    from gaussian_processes_tpu.models.ard import ARDGaussianKernel
+    from gaussian_processes_tpu.models.composite import (
+        ProductKernel,
+        SumKernel,
+    )
+
+    rng = np.random.default_rng(11)
+    x1, x2 = rand_inputs(rng)
+    se = GaussianKernel(jnp.float64(1.3), jnp.float64(0.7))
+    per = PeriodicKernel(jnp.float64(1.1), jnp.float64(0.9),
+                         jnp.float64(1.7))
+    xd1 = rng.uniform(-2, 2, size=(7, 3))
+    xd2 = rng.uniform(-2, 2, size=(5, 3))
+    kernels = [
+        (se, x1, x2),
+        (per, x1, x2),
+        (Matern32Kernel(jnp.float64(1.2), jnp.float64(0.8)), x1, x2),
+        (RationalQuadraticKernel(jnp.float64(1.1), jnp.float64(0.6),
+                                 jnp.float64(1.4)), x1, x2),
+        (ARDGaussianKernel(h=jnp.float64(1.2),
+                           w=jnp.asarray([0.5, 0.9, 1.3], jnp.float64)),
+         xd1, xd2),
+        (SumKernel(se, per), x1, x2),
+        (ProductKernel(se, per), x1, x2),
+    ]
+    for k, a, b in kernels:
+        H = np.asarray(k.hessian(a, b))
+        P = k.n_params
+        for p in range(P):
+            for q in range(P):
+                got = np.asarray(k.hessian_pair(a, b, p, q))
+                np.testing.assert_allclose(
+                    got, H[p, q], atol=1e-12, rtol=1e-10,
+                    err_msg=f"{type(k).__name__} pair ({p}, {q})")
