@@ -450,6 +450,72 @@ def bench_ski():
                "vs_baseline": _cpu_vs("ski", med - floor)})
 
 
+def bench_ski_refine():
+    """ND-SKI fit + double-f32 refinement at n=65536 scattered 2-D —
+    the round-3 flagship numerics result as a recurring metric
+    (VERDICT r3 item 4).
+
+    Workload: 65536 scattered points in [-1,1]^2, 128x128 inducing
+    grid, ARD-SE kernel, f32.  Fit: preconditioned CG with residual
+    replacement (plain FFT matvec).  Refine: ski_kron_refine — two-float
+    correction solves with the compensated in-loop matvec, reusing the
+    fit's pivoted-Cholesky preconditioner.  Emits both walls and the
+    compensated pair residual (the f64 oracle is CPU-only; the
+    compensated estimate is gated against it in tests/test_twofloat.py).
+    One timed rep per phase: these are multi-second host-orchestrated
+    runs, not dispatch-floor probes.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gaussian_processes_tpu import fit_iterative
+    from gaussian_processes_tpu.models.ard import ARDGaussianKernel
+    from gaussian_processes_tpu.ops import krylov, ski
+
+    n = int(os.environ.get("BENCH_SKIREF_N", 65536))
+    m1 = int(os.environ.get("BENCH_SKIREF_M1", 128))
+    iters = int(os.environ.get("BENCH_SKIREF_ITERS", 300))
+    rank = int(os.environ.get("BENCH_SKIREF_RANK", 512))
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-1, 1, (n, 2)).astype(np.float32)
+    y = (np.sin(3 * x[:, 0]) * np.cos(2 * x[:, 1])
+         + 0.1 * rng.standard_normal(n)).astype(np.float32)
+    kern = ARDGaussianKernel(jnp.asarray(1.0, jnp.float32),
+                             jnp.asarray([0.15, 0.15], jnp.float32))
+    xj, yj = jnp.asarray(x), jnp.asarray(y)
+    g = ski.make_grid(xj[:, 0], m1), ski.make_grid(xj[:, 1], m1)
+    op = ski.interpolation_weights_nd(xj, g)
+
+    L = krylov.pivoted_cholesky(kern, xj, rank)  # shared fit+refine
+    _fetch(jax, jnp.sum(L))
+
+    t0 = time.perf_counter()
+    p = fit_iterative(kern, xj, yj, 0.1, jax.random.key(0),
+                      num_probes=8, num_iters=iters, tol=1e-7,
+                      jitter=1e-4, precond_rank=rank, structure=op,
+                      replace_every=10, precond_L=L)
+    _fetch(jax, p.log_marginal + jnp.sum(p.alpha))
+    fit_wall = time.perf_counter() - t0
+    fit_res = float(p.solve_residual)
+    assert bool(jnp.isfinite(p.log_marginal)), "non-finite ND-SKI lml"
+
+    t0 = time.perf_counter()
+    (ah, al), rel = ski.ski_kron_refine(
+        kern, op, x, p.alpha, yj, 0.1, jitter=1e-4,
+        rounds=2, num_iters=iters, precond_L=L,
+    )
+    _fetch(jax, jnp.sum(ah) + jnp.sum(al))
+    ref_wall = time.perf_counter() - t0
+    total = fit_wall + ref_wall
+    _emit({"metric": f"ski_kron_refine_n{n}_2d_m{m1 * m1}_{DTYPE}",
+           "value": round(ref_wall, 3), "unit": "s",
+           "fit_wall": round(fit_wall, 3),
+           "total_wall": round(total, 3),
+           "residual_fit": fit_res,
+           "residual_pair": float(rel),
+           "vs_baseline": _cpu_vs("ski", total)})
+
+
 def bench_rff():
     """Feature-space GP fit at N=2^20 SCATTERED points (models/rff.py).
 
@@ -673,6 +739,7 @@ _SECTIONS = {
     "iterative": bench_iterative,
     "toeplitz": bench_toeplitz,
     "ski": bench_ski,
+    "ski_refine": bench_ski_refine,
     "whittle": bench_whittle,
     "rff": bench_rff,
     "sgpr": bench_sgpr,

@@ -532,10 +532,10 @@ def ski_kron_refine(
     rounds: int = 2,
     num_iters: int = 150,
     precond_rank: int = 512,
-    tol: float = 1e-4,
+    tol: float = 1e-7,
     replace_every: int = 10,
     precond_L: jax.Array | None = None,
-    target: float = 5e-8,
+    target: float = 2e-8,
 ):
     """Mixed-precision iterative refinement of an ND-SKI solve.
 
@@ -560,13 +560,13 @@ def ski_kron_refine(
     ~1e-6 (pair) after two refinement rounds.
 
     Round-4 wall cuts (VERDICT r3 weak #3): correction solves run
-    ``early_exit`` at ``tol`` (a correction to relative tolerance t
-    multiplies the pair residual by ~t, so 1e-4 per round reaches the
-    compensated floor in <= 2 rounds — 150 fixed iterations at 1e-7
-    were ~3x wasted); rounds stop early once the pair residual is
-    below ``target``; and ``precond_L`` lets the caller reuse the
-    pivoted-Cholesky factor already built by ``fit_iterative`` instead
-    of rebuilding it.
+    ``early_exit`` with a PER-ROUND adaptive tolerance — a correction
+    solved to relative tolerance t multiplies the pair residual by ~t,
+    so round k solves only to ``target / rel_k`` (floored at ``tol``,
+    capped at 1e-2) instead of burning 150 fixed iterations at 1e-7;
+    rounds stop early once the pair residual is below ``target``; and
+    ``precond_L`` lets the caller reuse the pivoted-Cholesky factor
+    already built by ``fit_iterative`` instead of rebuilding it.
     """
     import numpy as np
 
@@ -621,10 +621,10 @@ def ski_kron_refine(
     # eps ||a||, so its apply error is second-order
     resid_j = jax.jit(lambda ah, al, b_: ski_kron_residual_compensated(
         plan, colpairs, sizes, shift_pair, ah, b_) - mv(al))
-    # early_exit: a correction solved to relative tol t contributes
-    # ~t * ||r|| to the next residual — no point iterating past tol
-    solve_j = jax.jit(lambda r: krylov.pcg(
-        mv, pre, r[:, None], num_iters=num_iters, tol=tol,
+    # tol is a TRACED argument so the per-round adaptive tolerance does
+    # not recompile the solve (tunnel compiles are minutes)
+    solve_j = jax.jit(lambda r, t: krylov.pcg(
+        mv, pre, r[:, None], num_iters=num_iters, tol=t,
         replace_every=replace_every, early_exit=True)[0][:, 0])
 
     y_norm = float(jnp.linalg.norm(y))
@@ -636,7 +636,10 @@ def ski_kron_refine(
         rel = float(jnp.linalg.norm(r)) / y_norm
         if rel < target:  # already at/below the compensated floor
             return (ah, al), jnp.asarray(rel, jnp.float32)
-        ah, al = tf.tf_add(ah, al, solve_j(r), jnp.zeros_like(ah))
+        # solve just tightly enough that this round lands at target
+        t_k = float(np.clip(target / max(rel, 1e-30), tol, 1e-2))
+        ah, al = tf.tf_add(ah, al, solve_j(r, jnp.float32(t_k)),
+                           jnp.zeros_like(ah))
     r = resid_j(ah, al, y)
     rel = jnp.linalg.norm(r) / jnp.linalg.norm(y)
     return (ah, al), rel
