@@ -5,6 +5,11 @@ sequential chain of base-panel factorizations; this measures one panel's
 latency for each implementation at 256/512 (differenced scan protocol).
 """
 
+# allow running as `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import json
 import sys
 import time

@@ -8,6 +8,11 @@ Usage: python benchmarks/bench_cholesky.py [N ...]
 Env: BC_BASES="256,512,1024"  BC_ITERS=4
 """
 
+# allow running as `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import json
 import os
 import sys

@@ -15,6 +15,11 @@ are served from somewhere that is not the chip.  Protocol here:
 Usage: python benchmarks/bench_cholesky2.py [N ...]
 """
 
+# allow running as `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import json
 import os
 import sys

@@ -8,6 +8,11 @@ Measures, with the input-varying differenced protocol:
   4. full blocked512-high with XLA base                  (the real thing)
 """
 
+# allow running as `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import json
 import os
 import sys

@@ -10,6 +10,11 @@ Writes benchmarks/cpu_baseline.json.  Run once per machine:
     env -u PALLAS_AXON_POOL_IPS python benchmarks/cpu_baseline.py [Ns...]
 """
 
+# allow running as `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import json
 import os
 import sys

@@ -13,6 +13,11 @@ its (asymptotically equivalent) model and ~1000x cheaper per step.
 Env knobs: D1M_N, D1M_CHAINS, D1M_WARMUP, D1M_SAMPLES.
 """
 
+# allow running as `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import json
 import os
 import sys

@@ -14,6 +14,11 @@ verify finiteness/acceptance, not a production posterior.  Env knobs:
 D65_N, D65_CHAINS, D65_WARMUP, D65_SAMPLES, D65_ITERS, D65_RANK.
 """
 
+# allow running as `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import json
 import os
 import sys

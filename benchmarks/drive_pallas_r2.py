@@ -7,6 +7,11 @@ leaf kernels; round 2 extended the builders to Sum/Product trees and
 ARD, VERDICT r1 item 7).
 """
 
+# allow running as `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import json
 import sys
 

@@ -6,6 +6,11 @@ Prints the wall of EVERY call (distinct input values each time) for:
   c) checksum difference between calls (catches any result caching)
 """
 
+# allow running as `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import json
 import sys
 import time

@@ -4,6 +4,11 @@ tunnel: host-varied inputs, per-call walls, one-vs-K chain differencing.
 Usage: python benchmarks/probe_chol.py [n] ; env PC_IMPLS=xla,concat,update
 """
 
+# allow running as `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import json
 import os
 import sys

@@ -6,6 +6,11 @@ elided execution is caught by value, not inferred from timing.
 Also times jnp.sum(A) as the dispatch/transfer baseline.
 """
 
+# allow running as `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import json
 import sys
 import time

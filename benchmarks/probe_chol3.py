@@ -18,6 +18,11 @@ executable-keyed async path.  Countermeasures here:
 Usage: python benchmarks/probe_chol3.py [n] [impl1,impl2,...]
 """
 
+# allow running as `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import json
 import sys
 import time

@@ -6,6 +6,11 @@ reconstruction check.  Finds the best ``base`` for
 ops/blocked_cholesky.py::cholesky_blocked(algo="leftlook").
 """
 
+# allow running as `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import time
 import uuid
 

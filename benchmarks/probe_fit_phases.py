@@ -15,6 +15,11 @@ shared dispatch floor cancelled.  Usage:
     python benchmarks/probe_fit_phases.py [n]
 """
 
+# allow running as `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import json
 import sys
 import time

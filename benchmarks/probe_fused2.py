@@ -12,6 +12,11 @@ walls + residuals.  The round-1 strip measurement was 6.35 s at 3.4e-7.
 Usage: python benchmarks/probe_fused2.py [part1] [part2]
 """
 
+# allow running as `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import json
 import sys
 import time

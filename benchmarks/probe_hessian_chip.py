@@ -15,6 +15,11 @@ Timing protocol: fetch-synchronized (bench.py round-3 rules), fresh
 input values per call, dispatch floor archived alongside.
 """
 
+# allow running as `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import json
 import time
 

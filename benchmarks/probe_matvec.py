@@ -9,6 +9,11 @@ round-1 strip-matvec measurement (6.35 s, BASELINE.md).
 Usage: python benchmarks/probe_matvec.py [n] [r] [fit65k]
 """
 
+# allow running as `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import json
 import sys
 import time

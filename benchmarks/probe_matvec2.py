@@ -15,6 +15,11 @@ strip stays the auto-dispatch default.
 Usage: python benchmarks/probe_matvec2.py [n] [r]
 """
 
+# allow running as `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import json
 import sys
 import time

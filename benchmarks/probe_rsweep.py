@@ -7,6 +7,11 @@ Hutchinson can run 100+ probes (10x lower Monte-Carlo error) for free.
 Usage: python benchmarks/probe_rsweep.py [n]
 """
 
+# allow running as `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import json
 import sys
 import time

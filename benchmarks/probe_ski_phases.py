@@ -11,6 +11,11 @@ Phases, each fetch-synchronized separately on fresh values:
 Env knobs: SKIP_N, SKIP_M1, SKIP_ITERS, SKIP_RANK.
 """
 
+# allow running as `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import json
 import os
 import time

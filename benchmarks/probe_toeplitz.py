@@ -8,6 +8,11 @@ Sections (probe protocol — fresh input values, on-device value checks):
 Usage: python benchmarks/probe_toeplitz.py [n] [r] [n2]
 """
 
+# allow running as `python benchmarks/<script>.py` from anywhere
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import json
 import sys
 import time

@@ -98,9 +98,16 @@ def constant_work_efficiency(n_chains=256, num_warmup=100, num_samples=100,
     """wall(unsharded C chains) / wall(sharded C chains over 8 devices)."""
     log_post, init, key = problem(n_chains=n_chains)
     # compile both once (excluded from timing) by running tiny lengths
+    t0 = time.perf_counter()
     run_unsharded(log_post, init, key, 2, 2)
+    print(f"# compiled unsharded in {time.perf_counter() - t0:.1f}s",
+          flush=True)
+    t0 = time.perf_counter()
     run_sharded(log_post, init, key, 2, 2, 8)
+    print(f"# compiled sharded(8) in {time.perf_counter() - t0:.1f}s",
+          flush=True)
     w_un, _ = run_unsharded(log_post, init, key, num_warmup, num_samples)
+    print(f"# timed unsharded: {w_un:.2f}s", flush=True)
     w_sh, _ = run_sharded(log_post, init, key, num_warmup, num_samples, 8)
     eff = w_un / w_sh
     if verbose:
