@@ -1,6 +1,7 @@
 """ChEES-HMC tests: the same statistical gates as NUTS plus
 trajectory-length adaptation sanity."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -64,6 +65,7 @@ def test_deterministic_and_chunked():
     np.testing.assert_array_equal(np.asarray(r1.positions), np.asarray(r3.positions))
 
 
+@pytest.mark.slow
 def test_gp_hyperposterior_agrees_with_nuts():
     from gaussian_processes_tpu import GaussianKernel
     from gaussian_processes_tpu.inference import (

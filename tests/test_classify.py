@@ -6,6 +6,7 @@ separable data; probabilities are calibrated-monotone; the evidence is
 differentiable and MLE improves it; jit/vmap-compatibility.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -97,6 +98,7 @@ def test_probability_shrinks_with_uncertainty():
     assert abs(float(p_near[0]) - 0.5) > abs(float(p_far[0]) - 0.5)
 
 
+@pytest.mark.slow
 def test_evidence_differentiable_and_mle_improves():
     x, y = _data(90, seed=3)
     k0 = GaussianKernel(0.8, 1.5)

@@ -30,6 +30,7 @@ def test_run_config_fit(tmp_path):
     assert {r["event"] for r in lines} >= {"start", "summary"}
 
 
+@pytest.mark.slow
 def test_run_config_mle():
     cfg = _tiny(
         "config2_mle_periodic",
@@ -91,6 +92,7 @@ def test_run_config_fit_large_tiny():
     assert "block_size" in s
 
 
+@pytest.mark.slow
 def test_run_config_bayes_grid_tiny():
     cfg = _tiny(
         "grid1m_bayes_whittle",

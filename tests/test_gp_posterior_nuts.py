@@ -6,6 +6,7 @@ log posterior (f64) — independent sampler, same math, agreement within
 Monte-Carlo error.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -43,6 +44,7 @@ def _rwm_reference(log_post, u0, n_steps, seed, scale=0.15):
     return draws
 
 
+@pytest.mark.slow
 def test_gp_hyperposterior_moments_match_rwm():
     k0, x, y, log_post = _problem()
     key = jax.random.key(0)
@@ -65,6 +67,7 @@ def test_gp_hyperposterior_moments_match_rwm():
     )
 
 
+@pytest.mark.slow
 def test_nuts_chains_explore_posterior_not_prior():
     # with data, the noise posterior should concentrate well below the
     # prior scale; sanity that the likelihood actually informs the chain

@@ -67,6 +67,7 @@ def test_fit_sharded_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_fit_sharded_preconditioned_matches():
     kernel, x, y, s = _problem()
     mesh = make_row_mesh(8)

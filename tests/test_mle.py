@@ -5,6 +5,7 @@ L-BFGS-B run over the identical objective driven by the analytic gradient
 (the reference's workflow, SURVEY.md §4.4) — the oracle is the math.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -63,6 +64,7 @@ def test_mle_recovers_noise_scale():
     assert 0.2 < float(res.kernel.w) < 2.5
 
 
+@pytest.mark.slow
 def test_mle_restarts_periodic():
     x, y = _data(periodic=True, n=60, seed=3)
     k0 = PeriodicKernel(h=jnp.asarray(1.0), w=jnp.asarray(1.0), p=jnp.asarray(0.8))

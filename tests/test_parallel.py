@@ -36,6 +36,7 @@ def _problem(n=24, seed=0):
     return k0, x, y
 
 
+@pytest.mark.slow
 def test_sharded_nuts_runs_and_matches_statistics():
     k0, x, y = _problem()
     log_post = make_log_posterior(k0, x, y, prior_std=1.5)
@@ -92,6 +93,7 @@ def test_sharded_nuts_wrong_chain_count_raises():
         sample_nuts_sharded(log_post, init, jax.random.key(0), mesh=make_chain_mesh(8))
 
 
+@pytest.mark.slow
 def test_sharded_nuts_chunked_bit_identical():
     """Host-level chunking between shard_map dispatches is semantics-free:
     same carry pytree, shorter executions (VERDICT r1 item 3)."""
@@ -111,6 +113,7 @@ def test_sharded_nuts_chunked_bit_identical():
     )
 
 
+@pytest.mark.slow
 def test_sharded_nuts_resume_invariance(tmp_path):
     """collect(2k) == collect(1k) + checkpoint + resume collect(1k) on the
     8-device mesh — the sharded-durability gate (SURVEY.md §6.3/§6.4)."""
@@ -207,6 +210,7 @@ def test_sharded_chees_runs_and_matches_statistics():
     assert np.isfinite(float(res.step_size)) and float(res.traj_length) > 0
 
 
+@pytest.mark.slow
 def test_sharded_chees_on_whittle_posterior():
     """The Whittle (circulant-model) posterior composes with chain
     sharding: the FFT log-density is a pure function, so the sharded

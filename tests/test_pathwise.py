@@ -148,6 +148,7 @@ def test_pathwise_dense_vs_iterative_same_key():
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-7)
 
 
+@pytest.mark.slow
 def test_pathwise_iterative_preconditioned_agrees():
     kernel = GaussianKernel(h=1.0, w=0.5)
     x, y = _toy_problem(kernel, n=80, noise=0.15)

@@ -50,6 +50,7 @@ def test_blocked_accumulation_matches_dense():
     np.testing.assert_allclose(np.asarray(post_b.w_mean), w, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_rff_converges_to_dense_gp():
     kernel = GaussianKernel(h=1.0, w=0.5)
     x, y = _data(250, seed=1)

@@ -78,6 +78,7 @@ def test_sharded_fit_matches_single_device(mesh):
     np.testing.assert_allclose(vs, v1, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_sharded_elbo_and_grad_match(mesh):
     x, y = _data(512, seed=3)
     k0 = GaussianKernel(1.0, 1.0)
@@ -101,6 +102,7 @@ def test_sharded_elbo_and_grad_match(mesh):
                                rtol=1e-3, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_sharded_mle_matches_unsharded(mesh):
     x, y = _data(512, seed=5)
     k0 = GaussianKernel(0.6, 1.2)
@@ -119,6 +121,7 @@ def test_sharded_mle_matches_unsharded(mesh):
     )
 
 
+@pytest.mark.slow
 def test_sharded_learn_inducing(mesh):
     x, y = _data(256, seed=7)
     k0 = GaussianKernel(1.0, 0.5)

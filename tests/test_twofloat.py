@@ -125,6 +125,7 @@ def test_compensated_residual_matches_f64_oracle():
     assert err_comp < 0.5 * err_f32, (err_comp, err_f32)
 
 
+@pytest.mark.slow
 def test_ski_kron_refine_tightens_residual():
     """End-to-end: fit (f32, replacement on) then refine; the compensated
     true residual must tighten by >=10x and land below 2e-6 at this
