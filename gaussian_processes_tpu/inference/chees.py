@@ -26,6 +26,18 @@ algorithm description) removes the trees entirely:
 
 Same statistical gates as NUTS (tests/test_chees.py): analytic-target
 moments within Monte-Carlo error, determinism, adaptation sanity.
+
+CAVEAT — shared trajectory length on MULTISCALE posteriors (measured,
+round-4 1M-point run, BASELINE.md forensics): the population-shared T
+is adapted for the bulk of the chains.  A chain sitting in a mode whose
+curvature is much higher than the bulk's integrates ~full oscillation
+periods per trajectory and proposes a point near its start — it keeps
+ACCEPTING (energy error ~0) while moving sub-f32-ulp distances, which
+presents as a frozen chain at accept ≈ 1 (draw std exactly 0).  Watch
+``n_frozen_chains``-style per-chain std alongside R-hat; if modes with
+very different scales are genuinely expected, NUTS (per-chain dynamic
+trajectories) is the robust choice — with the measured lockstep
+throughput cost (BASELINE.md "Sampler policy").
 """
 
 from __future__ import annotations

@@ -182,8 +182,17 @@ def make_log_posterior_whittle(
     prior_std=2.0,
     jitter: float = 0.0,
     center: bool = True,
+    spectrum: str = "auto",
 ) -> Callable:
     """Log posterior over u = log(theta) with the WHITTLE likelihood.
+
+    ``spectrum`` selects how the circulant eigenvalues are computed
+    (ops/toeplitz.py::whittle_spectrum): "auto" uses the ANALYTIC
+    aliased spectral density where the kernel has a closed form —
+    required for honest noise inference at N ~ 1e6, where an f32 FFT
+    of the sampled column cannot resolve the spectral tail below the
+    noise floor (round-4 forensics in BASELINE.md) — falling back to
+    the FFT spectrum otherwise.
 
     For uniform-grid data (assert with ``ops.toeplitz.is_uniform_grid``):
     the exact log-density of the circulant surrogate model — three FFT/
@@ -207,9 +216,8 @@ def make_log_posterior_whittle(
     invariant to the constant shift.
     """
     from gaussian_processes_tpu.ops.toeplitz import (
-        circulant_eigenvalues,
-        toeplitz_column,
         whittle_log_marginal,
+        whittle_spectrum,
     )
 
     x = jnp.asarray(x)
@@ -220,7 +228,8 @@ def make_log_posterior_whittle(
     if not center:
         def log_post(u):
             kernel, noise = unpack(kernel_template, u)
-            lml = whittle_log_marginal(kernel, x, y, noise, jitter)
+            lml = whittle_log_marginal(kernel, x, y, noise, jitter,
+                                       spectrum=spectrum)
             return lml - 0.5 * jnp.sum(jnp.square((u - mu) / sd))
 
         return log_post
@@ -230,10 +239,7 @@ def make_log_posterior_whittle(
     u_c = jnp.broadcast_to(mu.astype(dtype),
                            (kernel_template.n_params + 1,))
     kern_c, noise_c = unpack(kernel_template, u_c)
-    lam0 = circulant_eigenvalues(
-        toeplitz_column(kern_c, x),
-        jnp.square(noise_c) + jitter,
-    )
+    lam0 = whittle_spectrum(kern_c, x, noise_c, jitter, spectrum)
     log_lam0 = jnp.log(lam0)
     fy = jnp.fft.rfft(y)
     p_y = jnp.square(fy.real) + jnp.square(fy.imag)
@@ -245,8 +251,7 @@ def make_log_posterior_whittle(
 
     def log_post(u):
         kernel, noise = unpack(kernel_template, u)
-        col = toeplitz_column(kernel, x)
-        lam = circulant_eigenvalues(col, jnp.square(noise) + jitter)
+        lam = whittle_spectrum(kernel, x, noise, jitter, spectrum)
         # per-bin differences: each term is O(|u - mu|), so the f32
         # reduction never sees the ~1e6-magnitude absolute lml
         dquad = jnp.sum(w * p_y * (lam0 - lam) / (lam * lam0)) / n
@@ -266,6 +271,7 @@ def make_log_posterior_whittle_kron(
     prior_std=2.0,
     jitter: float = 0.0,
     center: bool = True,
+    spectrum: str = "auto",
 ) -> Callable:
     """Log posterior over u = log(h, w_1..w_D, noise) with the D-dim
     torus Whittle likelihood (ops/kronecker.py::whittle_log_marginal_kron)
@@ -279,8 +285,7 @@ def make_log_posterior_whittle_kron(
     shift.
     """
     from gaussian_processes_tpu.ops.kronecker import (
-        kron_circulant_spectrum,
-        kron_columns,
+        kron_whittle_spectrum,
         whittle_log_marginal_kron,
     )
 
@@ -291,7 +296,8 @@ def make_log_posterior_whittle_kron(
     if not center:
         def log_post(u):
             kernel, noise = unpack(kernel_template, u)
-            lml = whittle_log_marginal_kron(kernel, op, y, noise, jitter)
+            lml = whittle_log_marginal_kron(kernel, op, y, noise, jitter,
+                                            spectrum=spectrum)
             return lml - 0.5 * jnp.sum(jnp.square((u - mu) / sd))
 
         return log_post
@@ -301,18 +307,14 @@ def make_log_posterior_whittle_kron(
     u_c = jnp.broadcast_to(mu.astype(dtype),
                            (kernel_template.n_params + 1,))
     kern_c, noise_c = unpack(kernel_template, u_c)
-    lam0 = kron_circulant_spectrum(
-        kron_columns(kern_c, op), jnp.square(noise_c) + jitter
-    )
+    lam0 = kron_whittle_spectrum(kern_c, op, noise_c, jitter, spectrum)
     log_lam0 = jnp.log(lam0)
     fy = jnp.fft.fftn(y.reshape(op.shape))
     p_y = jnp.square(fy.real) + jnp.square(fy.imag)
 
     def log_post(u):
         kernel, noise = unpack(kernel_template, u)
-        lam = kron_circulant_spectrum(
-            kron_columns(kernel, op), jnp.square(noise) + jitter
-        )
+        lam = kron_whittle_spectrum(kernel, op, noise, jitter, spectrum)
         dquad = jnp.sum(p_y * (lam0 - lam) / (lam * lam0)) / n
         dlogdet = jnp.sum(jnp.log(lam) - log_lam0)
         lml_centered = -0.5 * (dquad + dlogdet)

@@ -191,11 +191,67 @@ def kron_circulant_spectrum(cols, shift) -> jax.Array:
         n = c.shape[0]
         idx = jnp.arange(n)
         wrap = jnp.where(idx <= n // 2, idx, n - idx)
-        lam_d = jnp.fft.fft(c[wrap]).real  # (n_d,), real: symmetric wrap
+        # rectify per-factor FFT round-off at zero so the outer product
+        # stays >= 0; the noise is added AFTER and is never clamped
+        # away (the 1-D rationale at toeplitz.circulant_eigenvalues —
+        # a relative floor at N ~ 1e6 scales lands at the noise level
+        # and erases s from the high-frequency bins)
+        lam_d = jnp.maximum(jnp.fft.fft(c[wrap]).real, 0.0)
         lam = lam_d if lam is None else lam[..., None] * lam_d
-    lam = lam + jnp.asarray(shift, lam.dtype)
-    floor = 1e-6 * jnp.max(jnp.abs(lam)) + jnp.asarray(shift, lam.dtype) * 0.5
-    return jnp.maximum(lam, floor)
+    return lam + jnp.asarray(shift, lam.dtype)
+
+
+def kron_circulant_spectrum_analytic(
+    kernel: ARDGaussianKernel, op: KronOperator, shift, aliases: int = 2
+) -> jax.Array:
+    """Analytic torus spectrum for the separable ARD-SE kernel.
+
+    Each factor's periodized spectrum comes from the 1-D SE Poisson sum
+    (ops/toeplitz.py::circulant_eigenvalues_analytic rationale):
+    lam_d[k] = (w_d sqrt(2 pi) / dx_d) sum_l exp(-w_d^2 (o_k + l o_s)^2 / 2)
+    over the FULL fft frequency grid (negative bins mirrored), h^2
+    folded into factor 0 exactly as kron_columns does; the D-dim
+    spectrum is the outer product plus the additive noise.  Exact tail
+    decay in f32 — no FFT round-off floor.
+    """
+    if not isinstance(kernel, ARDGaussianKernel):
+        raise NotImplementedError(
+            "analytic Kronecker spectrum supports ARDGaussianKernel; "
+            f"got {type(kernel).__name__}")
+    lam = None
+    for d, g in enumerate(op.axes):
+        g = jnp.asarray(g)
+        n = g.shape[0]
+        dx = g[1] - g[0]
+        k = jnp.arange(n, dtype=g.dtype)
+        k = jnp.where(k <= n // 2, k, k - n)  # full fft bin frequencies
+        om = 2.0 * jnp.pi * k / (n * dx)
+        om_s = 2.0 * jnp.pi / dx
+        w = kernel.w[d]
+        lam_d = None
+        for l in range(-aliases, aliases + 1):
+            s = w * jnp.sqrt(2.0 * jnp.pi) * jnp.exp(
+                -0.5 * jnp.square(w * (om + l * om_s)))
+            lam_d = s if lam_d is None else lam_d + s
+        lam_d = lam_d / dx
+        if d == 0:
+            lam_d = lam_d * jnp.square(kernel.h)
+        lam = lam_d if lam is None else lam[..., None] * lam_d
+    return lam + jnp.asarray(shift, lam.dtype)
+
+
+def kron_whittle_spectrum(kernel, op, noise, jitter: float = 0.0,
+                          spectrum: str = "auto") -> jax.Array:
+    """Grid-shaped torus spectrum for the Kron Whittle density.
+
+    "auto"/"analytic" use the closed-form ARD-SE spectrum (the only
+    kernel Kronecker structure supports — kron_columns enforces it),
+    "fft" the per-factor FFT of the wrapped columns.
+    """
+    shift = jnp.square(jnp.asarray(noise)) + jitter
+    if spectrum in ("auto", "analytic"):
+        return kron_circulant_spectrum_analytic(kernel, op, shift)
+    return kron_circulant_spectrum(kron_columns(kernel, op), shift)
 
 
 def _kron_circulant_apply(lam: jax.Array, power: float):
@@ -259,7 +315,7 @@ def slq_logdet_kron_circulant(
 
 def whittle_log_marginal_kron(
     kernel: ARDGaussianKernel, op: KronOperator, y, noise,
-    jitter: float = 0.0,
+    jitter: float = 0.0, spectrum: str = "auto",
 ) -> jax.Array:
     """EXACT log-density of the D-dim torus (Kronecker-circulant)
     surrogate model — the Whittle likelihood on a Cartesian grid.
@@ -286,9 +342,7 @@ def whittle_log_marginal_kron(
     """
     y = jnp.asarray(y)
     n = op.n
-    cols = kron_columns(kernel, op)
-    shift = jnp.square(jnp.asarray(noise)) + jitter
-    lam = kron_circulant_spectrum(cols, shift)  # grid-shaped, clamped
+    lam = kron_whittle_spectrum(kernel, op, noise, jitter, spectrum)
     fy = jnp.fft.fftn(y.reshape(op.shape))
     p_y = jnp.square(fy.real) + jnp.square(fy.imag)
     quad = jnp.sum(p_y / lam) / n

@@ -112,22 +112,127 @@ def kernel_matvec_toeplitz(
 
 
 def circulant_eigenvalues(col: jax.Array, shift) -> jax.Array:
-    """Clamped rfft spectrum of P = C_s + shift I (Strang circulant).
+    """Spectrum of P = C_s + shift I (Strang circulant), noise ADDITIVE.
 
     The wrap-around column keeps lags up to n/2 and reflects the rest;
-    eigenvalues are the (real) DFT of that column.  Near-zero or negative
-    eigenvalues (possible for truncated tails) are floored so P stays
-    SPD — this clamped spectrum IS the definition of P, shared by the
-    apply / sampler / logdet below so they describe one operator.
+    the kernel part's eigenvalues are the (real) DFT of that column.
+    Near-zero or negative kernel eigenvalues (truncated tails, FFT
+    round-off on a spectrum whose dynamic range exceeds the dtype) are
+    rectified at zero, and ``shift`` — the observation-noise variance
+    plus jitter — is added AFTER, so it is never clamped away.  This
+    spectrum IS the definition of P, shared by the apply / sampler /
+    logdet below so they describe one operator.
+
+    Why additive (round-4 measured failure): the previous
+    ``max(lam + shift, 1e-6 max|lam| + shift/2)`` floor is ~1e-2 at
+    N=2^20 SE scales (lam_max ~ 1e4) — the same order as a realistic
+    noise variance — so the Whittle density's high-frequency bins
+    stopped depending on s and the 1M-point posterior mis-ranked the
+    noise (lp INCREASED as s -> 0; BASELINE.md round-4 forensics).
+    ``shift`` must be > 0 for SPD; every caller passes noise^2 + jitter.
     """
     col = jnp.asarray(col)
     n = col.shape[0]
     idx = jnp.arange(n)
     wrap = jnp.where(idx <= n // 2, idx, n - idx)
     cs = col[wrap]
-    lam = jnp.fft.rfft(cs).real + jnp.asarray(shift, col.dtype)
-    floor = 1e-6 * jnp.max(jnp.abs(lam)) + jnp.asarray(shift, col.dtype) * 0.5
-    return jnp.maximum(lam, floor)
+    lam_k = jnp.fft.rfft(cs).real
+    return jnp.maximum(lam_k, 0.0) + jnp.asarray(shift, col.dtype)
+
+
+def spectral_density(kernel, omega):
+    """Continuous-FT spectral density S(w) with k(t) = (1/2pi) int S e^{iwt}.
+
+    Returns ``None`` for kernel families without a supported closed
+    form (periodic: line spectrum; RQ: Bessel-K form; products:
+    convolution) — callers fall back to the FFT spectrum.  Sums map to
+    sums.  Closed forms (1-D, validated against an f64 FFT oracle in
+    tests/test_toeplitz.py):
+
+      SE          h^2 w sqrt(2 pi) exp(-w^2 o^2 / 2)
+      Matern-3/2  h^2 12 sqrt(3) / w^3 * (3/w^2 + o^2)^-2
+      Matern-5/2  h^2 (400 sqrt(5) / 3) / w^5 * (5/w^2 + o^2)^-3
+    """
+    from gaussian_processes_tpu.models.composite import SumKernel
+    from gaussian_processes_tpu.models.gaussian import GaussianKernel
+    from gaussian_processes_tpu.models.matern import (
+        Matern32Kernel,
+        Matern52Kernel,
+    )
+
+    omega = jnp.asarray(omega)
+    if isinstance(kernel, GaussianKernel):
+        h2, w = jnp.square(kernel.h), kernel.w
+        return h2 * w * jnp.sqrt(2.0 * jnp.pi) * jnp.exp(
+            -0.5 * jnp.square(w * omega))
+    if isinstance(kernel, Matern32Kernel):
+        h2, w = jnp.square(kernel.h), kernel.w
+        return h2 * (12.0 * jnp.sqrt(3.0) / w**3) / jnp.square(
+            3.0 / jnp.square(w) + jnp.square(omega))
+    if isinstance(kernel, Matern52Kernel):
+        h2, w = jnp.square(kernel.h), kernel.w
+        return h2 * (400.0 * jnp.sqrt(5.0) / 3.0 / w**5) / (
+            5.0 / jnp.square(w) + jnp.square(omega)) ** 3
+    if isinstance(kernel, SumKernel):
+        s1 = spectral_density(kernel.k1, omega)
+        s2 = spectral_density(kernel.k2, omega)
+        if s1 is None or s2 is None:
+            return None
+        return s1 + s2
+    return None
+
+
+def circulant_eigenvalues_analytic(
+    kernel, x: jax.Array, shift, aliases: int = 2
+):
+    """Periodized-kernel circulant spectrum from the ANALYTIC density.
+
+    Poisson summation: the DFT of the dx-sampled, L-periodized kernel is
+    lam_k = (1/dx) sum_l S(o_k + l * 2 pi / dx), o_k = 2 pi k / L —
+    exact for the periodization (which the Strang wrap equals whenever
+    the kernel decays within n/2 cells), with the aliasing sum truncated
+    at |l| <= ``aliases`` (super-exponentially convergent for smooth
+    kernels).  The point (round-4): an f32 FFT of the sampled column
+    cannot resolve spectral tails below ~eps * lam_max ~ 1e-3 at
+    N=2^20 — the analytic form evaluates the tail DIRECTLY (underflow
+    to 0 is graceful), so the additive noise floor s^2 stays exact in
+    every bin.  Returns ``None`` if the kernel has no supported density.
+    """
+    x = jnp.asarray(x)
+    n = x.shape[0]
+    dx = x[1] - x[0]
+    k = jnp.arange(n // 2 + 1, dtype=x.dtype)
+    om = 2.0 * jnp.pi * k / (n * dx)
+    om_s = 2.0 * jnp.pi / dx
+    lam = None
+    for l in range(-aliases, aliases + 1):
+        s = spectral_density(kernel, om + l * om_s)
+        if s is None:
+            return None
+        lam = s if lam is None else lam + s
+    return lam / dx + jnp.asarray(shift, x.dtype)
+
+
+def whittle_spectrum(kernel, x, noise, jitter: float = 0.0,
+                     spectrum: str = "auto"):
+    """The (n//2+1,) circulant spectrum the Whittle density uses.
+
+    ``spectrum``: "auto" (analytic when the kernel has a closed-form
+    density, else FFT), "analytic" (error if unsupported), "fft".
+    Shared by whittle_log_marginal and the centered posterior in
+    inference/gp_model.py so both describe the same model.
+    """
+    shift = jnp.square(jnp.asarray(noise)) + jitter
+    if spectrum in ("auto", "analytic"):
+        lam = circulant_eigenvalues_analytic(kernel, x, shift)
+        if lam is not None:
+            return lam
+        if spectrum == "analytic":
+            raise NotImplementedError(
+                f"no closed-form spectral density for "
+                f"{type(kernel).__name__}; use spectrum='fft'")
+    col = toeplitz_column(kernel, x)
+    return circulant_eigenvalues(col, shift)
 
 
 def _circulant_apply(lam: jax.Array, n: int, power: float):
@@ -169,7 +274,8 @@ def circulant_logdet(lam: jax.Array, n: int) -> jax.Array:
     return jnp.sum(w * jnp.log(lam))
 
 
-def whittle_log_marginal(kernel, x, y, noise, jitter: float = 0.0):
+def whittle_log_marginal(kernel, x, y, noise, jitter: float = 0.0,
+                         spectrum: str = "auto"):
     """EXACT log-density of the circulant surrogate model — the Whittle
     likelihood of GP regression on a uniform grid.
 
@@ -201,9 +307,7 @@ def whittle_log_marginal(kernel, x, y, noise, jitter: float = 0.0):
     x = jnp.asarray(x)
     y = jnp.asarray(y)
     n = y.shape[0]
-    col = toeplitz_column(kernel, x)
-    shift = jnp.square(jnp.asarray(noise)) + jitter
-    lam = circulant_eigenvalues(col, shift)
+    lam = whittle_spectrum(kernel, x, noise, jitter, spectrum)
     fy = jnp.fft.rfft(y)
     m = lam.shape[0]
     w = jnp.full((m,), 2.0, lam.dtype)

@@ -214,11 +214,49 @@ def test_whittle_kron_is_exact_torus_density():
     kernel = ARDGaussianKernel(1.1, jnp.asarray([0.15, 0.2]))
     y = jnp.asarray(rng.standard_normal(48))
     s = 0.3
-    lml = float(kronecker.whittle_log_marginal_kron(kernel, op, y, s))
+    # spectrum="fft" is the variant this dense materialization builds:
+    # the Strang-wrapped circulant (the analytic default is the TRUE
+    # periodization — gated separately below)
+    lml = float(kronecker.whittle_log_marginal_kron(kernel, op, y, s,
+                                                    spectrum="fft"))
     C = _torus_cov_dense(kernel, op, s**2)
     ref = float(multivariate_normal(mean=np.zeros(48), cov=C)
                 .logpdf(np.asarray(y)))
     np.testing.assert_allclose(lml, ref, rtol=1e-10)
+
+
+def test_whittle_kron_analytic_is_exact_periodized_density():
+    # the analytic (Poisson-sum) spectrum describes the TRUE torus
+    # model: covariance sum_m k(d + m L) per dimension.  Materialize
+    # that directly and compare the MVN log-density.
+    from gaussian_processes_tpu.models.ard import ARDGaussianKernel
+    from scipy.stats import multivariate_normal
+
+    rng = np.random.default_rng(0)
+    n1, n2 = 8, 6
+    g1 = jnp.linspace(0.0, 1.0, n1, endpoint=False)
+    g2 = jnp.linspace(0.0, 1.0, n2, endpoint=False)
+    op = kronecker.KronOperator(axes=(g1, g2))
+    kernel = ARDGaussianKernel(1.1, jnp.asarray([0.15, 0.2]))
+    y = jnp.asarray(rng.standard_normal(48))
+    s = 0.3
+    lml = float(kronecker.whittle_log_marginal_kron(kernel, op, y, s,
+                                                    spectrum="analytic"))
+
+    def periodized_factor(g, w, L):
+        g = np.asarray(g, np.float64)
+        d = g[:, None] - g[None, :]
+        C = np.zeros_like(d)
+        for m in range(-4, 5):
+            C += np.exp(-0.5 * np.square((d + m * L) / w))
+        return C
+
+    C1 = periodized_factor(g1, 0.15, 1.0) * 1.1**2
+    C2 = periodized_factor(g2, 0.2, 1.0)
+    C = np.kron(C1, C2) + s**2 * np.eye(48)
+    ref = float(multivariate_normal(mean=np.zeros(48), cov=C)
+                .logpdf(np.asarray(y)))
+    np.testing.assert_allclose(lml, ref, rtol=1e-6)
 
 
 def test_whittle_kron_close_to_exact_lml_for_torus_data():

@@ -128,15 +128,20 @@ def test_circulant_half_power_squares_to_apply():
     np.testing.assert_allclose(
         np.asarray(half(half(v))), np.asarray(one(v)), atol=1e-10
     )
-    # and logdet from the rfft spectrum matches the dense circulant
+    # and logdet from the rfft spectrum matches a dense materialization
+    # of the SAME operator (kernel spectrum rectified at 0, noise added
+    # after — the round-4 additive definition), reconstructed from the
+    # rectified full-fft spectrum
     n = 96
     idx = np.arange(n)
     wrap = np.where(idx <= n // 2, idx, n - idx)
     cs = np.asarray(col)[wrap]
+    lam_full = np.maximum(np.fft.fft(cs).real, 0.0) + s
+    cs_rect = np.fft.ifft(lam_full).real
     C = np.empty((n, n))
     for i in range(n):
-        C[i] = np.roll(cs, i)
-    want = np.linalg.slogdet(C + s * np.eye(n))[1]
+        C[i] = np.roll(cs_rect, i)
+    want = np.linalg.slogdet(C)[1]
     got = float(toeplitz.circulant_logdet(lam, n))
     np.testing.assert_allclose(got, want, rtol=1e-10)
 
@@ -397,3 +402,77 @@ def test_whittle_centered_objective_is_constant_shift():
     np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_u), rtol=1e-9)
     # and at the center the shifted density equals just the prior term (0)
     np.testing.assert_allclose(float(lp_c(mu)), 0.0, atol=1e-8)
+
+
+def test_spectral_density_closed_forms_match_fft_oracle():
+    # the analytic Poisson-sum spectrum must match the f64 FFT of the
+    # wrapped sampled column wherever the kernel decays well inside
+    # n/2 cells (there wrap == periodization): validates the SE and
+    # Matern closed-form constants in ops/toeplitz.py::spectral_density
+    from gaussian_processes_tpu.models.composite import SumKernel
+    from gaussian_processes_tpu.models.matern import (
+        Matern32Kernel,
+        Matern52Kernel,
+    )
+
+    n = 512
+    x = jnp.asarray(np.arange(n) * (4.0 / n) - 2.0)  # dx small vs w
+    # lengthscales small vs the domain half-width (2.0): the Matern
+    # families decay only exponentially (polynomial spectra), so the
+    # Strang wrap equals the periodization only when k(L/2) is
+    # negligible — w <= 0.12 puts the wrap error below the 1e-4 gate
+    kernels = [
+        GaussianKernel(h=1.3, w=0.25),
+        Matern32Kernel(h=0.9, w=0.1),
+        Matern52Kernel(h=1.1, w=0.12),
+        SumKernel(GaussianKernel(h=1.0, w=0.3),
+                  Matern32Kernel(h=0.5, w=0.1)),
+    ]
+    for kern in kernels:
+        s2 = 0.09
+        lam_fft = np.asarray(toeplitz.circulant_eigenvalues(
+            toeplitz.toeplitz_column(kern, x), s2))
+        lam_an = np.asarray(
+            toeplitz.circulant_eigenvalues_analytic(kern, x, s2, aliases=8))
+        assert lam_an is not None
+        # compare where the spectrum is resolvable by the FFT (Matern
+        # tails decay polynomially, SE super-exponentially; everything
+        # above 1e-8 of the peak must agree to ~1e-5 relative)
+        mask = lam_fft > 1e-8 * lam_fft.max()
+        rel = np.abs(lam_an - lam_fft)[mask] / lam_fft[mask]
+        assert rel.max() < 1e-4, (type(kern).__name__, rel.max())
+    # unsupported families fall back (None), and whittle_spectrum routes
+    assert toeplitz.spectral_density(
+        PeriodicKernel(h=1.0, w=1.0, p=0.9), 0.0) is None
+
+
+def test_whittle_analytic_noise_identifiable_at_scale_f32():
+    # ROUND-4 REGRESSION GATE: at large n the f32 FFT spectrum of an SE
+    # column has round-off garbage ~eps * lam_max in its tail, and the
+    # old relative clamp floored the model spectrum at ~1e-2 — erasing
+    # the noise parameter from the high-frequency bins entirely (the
+    # measured 1M-point failure: lp INCREASED as s -> 0, chains slid to
+    # s ~ 0.01 at lp +18k; BASELINE.md round-4 forensics).  The analytic
+    # spectrum keeps s^2 exact in every bin: the Whittle lml profile
+    # over s must peak at the generative noise.
+    from gaussian_processes_tpu.inference import make_log_posterior_whittle
+
+    n = 1 << 16
+    rng = np.random.default_rng(0)
+    x = (np.arange(n) * (2 * np.pi / n) - np.pi).astype(np.float32)
+    y = (np.sin(50 * x) + 0.1 * rng.standard_normal(n)).astype(np.float32)
+    k0 = GaussianKernel(h=jnp.asarray(0.7, jnp.float32),
+                        w=jnp.asarray(0.04, jnp.float32))
+    u0 = np.log(np.array([0.7, 0.04, 0.1], dtype=np.float32))
+    lp = make_log_posterior_whittle(k0, x, y, prior_mean=jnp.asarray(u0),
+                                    prior_std=1.0, jitter=1e-6)
+    svals = np.array([0.4, 0.2, 0.1, 0.05, 0.025, 0.0125])
+    lps = []
+    for s in svals:
+        u = np.log(np.array([0.7, 0.04, s], dtype=np.float32))
+        lps.append(float(lp(jnp.asarray(u))))
+    best = svals[int(np.argmax(lps))]
+    assert best == 0.1, list(zip(svals.tolist(), lps))
+    # and s below truth must be heavily punished (the old clamp made
+    # this direction nearly flat or IMPROVING)
+    assert lps[2] - lps[-1] > 1e4, lps
