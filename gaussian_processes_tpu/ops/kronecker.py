@@ -165,13 +165,18 @@ def kernel_matvec_kron(
 
 
 def kron_circulant_spectrum(cols, shift) -> jax.Array:
-    """Clamped full-grid spectrum of P = ((x)_d C_d) + shift I.
+    """Full-grid spectrum of P = ((x)_d C_d) + shift I, noise ADDITIVE.
 
     Each C_d is the Strang circulant of T_d (wrap at n_d/2); the
     Kronecker product is diagonalized by the D-dim DFT with real
     eigenvalues outer-prod(lam_d).  Returned shape: op grid shape.
-    Clamping mirrors ops/toeplitz.py::circulant_eigenvalues — the clamped
-    spectrum IS the preconditioner's definition.
+    Per-factor FFT round-off is rectified at ZERO (no relative floor)
+    and ``shift`` — the observation-noise variance plus jitter — is
+    added AFTER, mirroring ops/toeplitz.py::circulant_eigenvalues: a
+    relative floor at N ~ 1e6 scales lands at the noise level and
+    erases s from the high-frequency bins (round-4 measured failure).
+    This rectified-kernel + additive-noise spectrum IS the
+    preconditioner's definition.
 
     Caveat (measured, tests/test_kronecker.py): the wrap approximation
     needs each dim's kernel to decay within n_d/2 cells.  With a
@@ -198,7 +203,10 @@ def kron_circulant_spectrum(cols, shift) -> jax.Array:
         # and erases s from the high-frequency bins)
         lam_d = jnp.maximum(jnp.fft.fft(c[wrap]).real, 0.0)
         lam = lam_d if lam is None else lam[..., None] * lam_d
-    return lam + jnp.asarray(shift, lam.dtype)
+    lam = lam + jnp.asarray(shift, lam.dtype)
+    # absolute SPD guard for shift == 0 (same rationale as the 1-D
+    # circulant_eigenvalues): rectified bins can be exactly 0
+    return jnp.maximum(lam, jnp.finfo(lam.dtype).tiny)
 
 
 def kron_circulant_spectrum_analytic(
@@ -237,7 +245,8 @@ def kron_circulant_spectrum_analytic(
         if d == 0:
             lam_d = lam_d * jnp.square(kernel.h)
         lam = lam_d if lam is None else lam[..., None] * lam_d
-    return lam + jnp.asarray(shift, lam.dtype)
+    lam = lam + jnp.asarray(shift, lam.dtype)
+    return jnp.maximum(lam, jnp.finfo(lam.dtype).tiny)
 
 
 def kron_whittle_spectrum(kernel, op, noise, jitter: float = 0.0,

@@ -137,7 +137,12 @@ def circulant_eigenvalues(col: jax.Array, shift) -> jax.Array:
     wrap = jnp.where(idx <= n // 2, idx, n - idx)
     cs = col[wrap]
     lam_k = jnp.fft.rfft(cs).real
-    return jnp.maximum(lam_k, 0.0) + jnp.asarray(shift, col.dtype)
+    lam = jnp.maximum(lam_k, 0.0) + jnp.asarray(shift, col.dtype)
+    # absolute SPD guard: with shift == 0 (user-reachable via noise=0,
+    # jitter=0) rectified bins are exactly 0 and downstream lam^-1 /
+    # log(lam) produce inf — floor at the smallest normal, which is
+    # ~1e-38 and cannot bias any run with a real noise level
+    return jnp.maximum(lam, jnp.finfo(lam.dtype).tiny)
 
 
 def spectral_density(kernel, omega):
@@ -182,26 +187,88 @@ def spectral_density(kernel, omega):
     return None
 
 
-def circulant_eigenvalues_analytic(
-    kernel, x: jax.Array, shift, aliases: int = 2
-):
-    """Periodized-kernel circulant spectrum from the ANALYTIC density.
+def periodic_line_bins(kernel, n: int, dx, num_harmonics: int = 256):
+    """Exact folded line spectrum of the periodic kernel on n grid bins.
 
-    Poisson summation: the DFT of the dx-sampled, L-periodized kernel is
-    lam_k = (1/dx) sum_l S(o_k + l * 2 pi / dx), o_k = 2 pi k / L —
-    exact for the periodization (which the Strang wrap equals whenever
-    the kernel decays within n/2 cells), with the aliasing sum truncated
-    at |l| <= ``aliases`` (super-exponentially convergent for smooth
-    kernels).  The point (round-4): an f32 FFT of the sampled column
-    cannot resolve spectral tails below ~eps * lam_max ~ 1e-3 at
-    N=2^20 — the analytic form evaluates the tail DIRECTLY (underflow
-    to 0 is graceful), so the additive noise floor s^2 stays exact in
-    every bin.  Returns ``None`` if the kernel has no supported density.
+    The periodic kernel is a pure line spectrum (Jacobi-Anger, the same
+    expansion models/pathwise.py::periodic_harmonic_features uses):
+
+        k(d) = a_0 + sum_{q>=1} a_q cos(q d / p),
+        a_0 = h^2 e^{-c} I_0(c),  a_q = 2 h^2 e^{-c} I_q(c),  c = 1/w^2.
+
+    Sampling at spacing dx folds each line EXACTLY onto its aliased
+    frequency in [0, pi/dx] (a sampled cosine IS its folded twin — no
+    truncated Poisson sum, no tail).  The folded position in rfft-bin
+    units, t_q = fold(q dx / (2 pi p)) * n, is generally not an integer;
+    the circulant surrogate model assigns each line's variance a_q to
+    the two neighboring bins with linear weights — piecewise-linear
+    (and autodiff-differentiable) in the period p, exact whenever the
+    period is grid-commensurate (then t_q is an integer and the result
+    equals the f64 FFT of the wrapped column bit-for-bit in exact
+    arithmetic; gated in tests/test_toeplitz.py).
+
+    Bin scaling: a line carrying variance a at interior rfft bin k
+    contributes lam_k = a n / w_k with conjugate multiplicity w_k (2
+    interior, 1 at DC/Nyquist), so the model's total variance is
+    sum_k w_k lam_k / n = sum_q a_q = k(0).
+
+    Truncation: harmonic weights decay super-exponentially once
+    q >> c = 1/w^2; ``num_harmonics`` = 256 (with a matching Bessel
+    series length) covers lengthscales w >= ~0.07.  Returns the KERNEL
+    part only (no noise shift).
     """
-    x = jnp.asarray(x)
-    n = x.shape[0]
-    dx = x[1] - x[0]
-    k = jnp.arange(n // 2 + 1, dtype=x.dtype)
+    from gaussian_processes_tpu.models.pathwise import _log_bessel_i
+
+    h = jnp.asarray(kernel.h)
+    w = jnp.asarray(kernel.w)
+    p = jnp.asarray(kernel.p)
+    dtype = jnp.result_type(h.dtype, jnp.asarray(dx).dtype)
+    c = 1.0 / (w * w)
+    q = jnp.arange(num_harmonics + 1, dtype=dtype)
+    logI = _log_bessel_i(q, c, num_terms=max(80, num_harmonics))
+    a = jnp.exp(2.0 * jnp.log(h) - c + logI)  # h^2 e^{-c} I_q(c)
+    a = a * jnp.where(q == 0, 1.0, 2.0)
+    # folded line positions in rfft-bin units: f in cycles/sample
+    f = (q / p) * jnp.asarray(dx, dtype) / (2.0 * jnp.pi)
+    f = jnp.mod(f, 1.0)
+    f = jnp.minimum(f, 1.0 - f)  # [0, 1/2]
+    t = f * n  # [0, n/2]
+    k0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, n // 2)
+    frac = t - k0.astype(dtype)
+    k1 = jnp.minimum(k0 + 1, n // 2)
+    m = n // 2 + 1
+    # conjugate multiplicities of the rfft bins
+    mult = jnp.full((m,), 2.0, dtype).at[0].set(1.0)
+    if n % 2 == 0:
+        mult = mult.at[m - 1].set(1.0)
+    lam = jnp.zeros((m,), dtype)
+    lam = lam.at[k0].add(a * (1.0 - frac) * n / mult[k0])
+    lam = lam.at[k1].add(a * frac * n / mult[k1])
+    return lam
+
+
+def _analytic_kernel_bins(kernel, n: int, dx, dtype, aliases: int,
+                          num_harmonics: int):
+    """Kernel part of the analytic circulant spectrum, or None.
+
+    Recursive over SumKernel so mixed continuous + line families
+    (e.g. SE + periodic, the classic quasi-periodic decomposition)
+    stay analytic.
+    """
+    from gaussian_processes_tpu.models.composite import SumKernel
+    from gaussian_processes_tpu.models.periodic import PeriodicKernel
+
+    if isinstance(kernel, PeriodicKernel):
+        return periodic_line_bins(kernel, n, dx, num_harmonics)
+    if isinstance(kernel, SumKernel):
+        a = _analytic_kernel_bins(kernel.k1, n, dx, dtype, aliases,
+                                  num_harmonics)
+        b = _analytic_kernel_bins(kernel.k2, n, dx, dtype, aliases,
+                                  num_harmonics)
+        if a is None or b is None:
+            return None
+        return a + b
+    k = jnp.arange(n // 2 + 1, dtype=dtype)
     om = 2.0 * jnp.pi * k / (n * dx)
     om_s = 2.0 * jnp.pi / dx
     lam = None
@@ -210,7 +277,43 @@ def circulant_eigenvalues_analytic(
         if s is None:
             return None
         lam = s if lam is None else lam + s
-    return lam / dx + jnp.asarray(shift, x.dtype)
+    return lam / dx
+
+
+def circulant_eigenvalues_analytic(
+    kernel, x: jax.Array, shift, aliases: int = 8, num_harmonics: int = 256
+):
+    """Periodized-kernel circulant spectrum from the ANALYTIC density.
+
+    Poisson summation: the DFT of the dx-sampled, L-periodized kernel is
+    lam_k = (1/dx) sum_l S(o_k + l * 2 pi / dx), o_k = 2 pi k / L —
+    exact for the periodization (which the Strang wrap equals whenever
+    the kernel decays within n/2 cells), with the aliasing sum truncated
+    at |l| <= ``aliases``.  The default aliases=8 keeps the truncation
+    error of the POLYNOMIAL-tail Matern spectra below the 1e-4 oracle
+    gate (measured: Matern-3/2 at aliases=2 was ~1.5e-3 in tail bins;
+    the error falls ~L^-3); for SE the sum converges super-exponentially
+    and any alias count >= 1 is exact to f64.  The periodic kernel is a
+    LINE spectrum and folds exactly (periodic_line_bins) — no aliasing
+    sum at all; sums of supported families recurse.
+
+    The point (round-4): an f32 FFT of the sampled column cannot resolve
+    spectral tails below ~eps * lam_max ~ 1e-3 at N=2^20 — the analytic
+    form evaluates the tail DIRECTLY (underflow to 0 is graceful), so
+    the additive noise floor s^2 stays exact in every bin.  Returns
+    ``None`` if the kernel has no supported spectrum (RQ: Bessel-K
+    form; products: convolution).
+    """
+    x = jnp.asarray(x)
+    n = x.shape[0]
+    dx = x[1] - x[0]
+    lam = _analytic_kernel_bins(kernel, n, dx, x.dtype, aliases,
+                                num_harmonics)
+    if lam is None:
+        return None
+    lam = lam + jnp.asarray(shift, x.dtype)
+    # same absolute SPD guard as circulant_eigenvalues (shift == 0)
+    return jnp.maximum(lam, jnp.finfo(lam.dtype).tiny)
 
 
 def whittle_spectrum(kernel, x, noise, jitter: float = 0.0,
@@ -231,6 +334,20 @@ def whittle_spectrum(kernel, x, noise, jitter: float = 0.0,
             raise NotImplementedError(
                 f"no closed-form spectral density for "
                 f"{type(kernel).__name__}; use spectrum='fft'")
+        if jnp.shape(x)[0] > 100_000:
+            import warnings
+
+            # the FFT spectrum's f32 round-off tail (~eps * lam_max) is
+            # the same order as a realistic noise variance at n ~ 1e6 —
+            # the measured round-4 failure mode (noise erased from the
+            # high-frequency bins; BASELINE.md round-4 forensics)
+            warnings.warn(
+                f"whittle_spectrum: no analytic spectrum for "
+                f"{type(kernel).__name__}; falling back to the FFT "
+                f"spectrum at n={jnp.shape(x)[0]}, whose f32 round-off "
+                f"tail can bias the noise posterior at this scale.",
+                stacklevel=2,
+            )
     col = toeplitz_column(kernel, x)
     return circulant_eigenvalues(col, shift)
 
@@ -286,10 +403,13 @@ def whittle_log_marginal(kernel, x, y, noise, jitter: float = 0.0,
         lml_W = -1/2 sum_k w_k [ |y~_k|^2 / (n lam_k) + log lam_k ]
                 - (n/2) log 2pi
 
-    (y~ = rfft(y), lam = clamped circulant spectrum, w_k the conjugate
-    multiplicities).  Three O(n log n)/O(n) ops, fully deterministic and
-    autodiff-differentiable through the kernel column — no CG, no SLQ,
-    no probes.
+    (y~ = rfft(y), lam = the circulant spectrum from whittle_spectrum —
+    analytic aliased density when the kernel family has one, else the
+    FFT spectrum with the kernel part rectified at zero; the noise
+    variance s^2 is strictly ADDITIVE in every bin and never floored
+    away — w_k the conjugate multiplicities).  Three O(n log n)/O(n)
+    ops, fully deterministic and autodiff-differentiable through the
+    kernel hyperparameters — no CG, no SLQ, no probes.
 
     MODEL SEMANTICS (measured, tests/test_toeplitz.py): the circulant
     model is a stationary GP on the CIRCLE of circumference n*dx — the

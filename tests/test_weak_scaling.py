@@ -39,3 +39,28 @@ def test_sharding_overhead_efficiency_gate():
         f"sharding overhead exceeds the 20% weak-scaling budget "
         f"(BASELINE.json:11)"
     )
+
+
+def test_sharding_overhead_8dev_oversubscribed_floor():
+    # ADVICE r4: the >=0.8 gate above runs on a non-oversubscribed mesh,
+    # which on this 4-core host means the 8-device configuration is no
+    # longer asserted at all.  Keep it asserted at a LOOSER documented
+    # bound: the measured oversubscription collapse is 0.49-0.59 (XLA-CPU
+    # collectives busy-waiting, 8 device threads on 4 cores —
+    # benchmarks/probe_shard_overhead.py, BASELINE.md round-4), so 0.30
+    # leaves ~40% headroom for host noise while still catching a genuine
+    # sharding-layer regression (which would land far below).  On hosts
+    # with >= 8 physical cores the mesh is not oversubscribed and the
+    # same assertion tightens naturally via the measured ratio.
+    import os
+
+    eff = constant_work_efficiency(
+        n_chains=256, num_warmup=60, num_samples=60, verbose=True,
+        n_devices=8,
+    )
+    floor = 0.30 if (os.cpu_count() or 1) < 8 else 0.8
+    assert eff >= floor, (
+        f"8-device sharded ChEES efficiency {eff:.2f} fell below the "
+        f"documented {floor} floor (measured oversubscribed baseline "
+        f"0.49-0.59 on a 4-core host) — sharding-layer regression"
+    )
