@@ -247,15 +247,75 @@ def periodic_line_bins(kernel, n: int, dx, num_harmonics: int = 256):
     return lam
 
 
+def _periodic_weights(kernel, num_harmonics: int, dtype):
+    """(a_q, nu_q): harmonic variances (2x folded in for q >= 1) and
+    line frequencies in rad of the periodic kernel's Jacobi-Anger
+    expansion — the building block of both the pure line spectrum and
+    the quasi-periodic convolution below."""
+    from gaussian_processes_tpu.models.pathwise import _log_bessel_i
+
+    h = jnp.asarray(kernel.h)
+    w = jnp.asarray(kernel.w)
+    p = jnp.asarray(kernel.p)
+    c = 1.0 / (w * w)
+    q = jnp.arange(num_harmonics + 1, dtype=dtype)
+    logI = _log_bessel_i(q, c, num_terms=max(80, num_harmonics))
+    a = jnp.exp(2.0 * jnp.log(h) - c + logI)
+    a = a * jnp.where(q == 0, 1.0, 2.0)
+    return a, q / p
+
+
+def quasi_periodic_bins(kp, kc, n: int, dx, dtype, aliases: int,
+                        num_harmonics: int):
+    """Analytic circulant bins for the QUASI-PERIODIC product kernel.
+
+    k = k_periodic * k_continuous has the closed-form spectral density
+
+        S(o) = sum_q (a_q / 2) [S_c(o - nu_q) + S_c(o + nu_q)]
+
+    (a line spectrum convolved with a continuous density: each harmonic
+    broadens into a shifted copy of S_c) — the classic GP time-series
+    model (e.g. SE x periodic for decaying periodicity) evaluated
+    exactly, tail included, where an f32 FFT of the column cannot
+    resolve it.  The aliasing Poisson sum folds in additively, so the
+    bins are one lax.scan over harmonics of shifted density
+    evaluations.  Returns the kernel part only (no noise shift).
+    """
+    from jax import lax
+
+    a, nu = _periodic_weights(kp, num_harmonics, dtype)
+    k = jnp.arange(n // 2 + 1, dtype=dtype)
+    om = 2.0 * jnp.pi * k / (n * dx)
+    om_s = 2.0 * jnp.pi / dx
+    shifts = [l * om_s for l in range(-aliases, aliases + 1)]
+
+    def body(lam, aq_nu):
+        aq, nuq = aq_nu
+        s = jnp.zeros_like(lam)
+        for sh in shifts:
+            s = s + spectral_density(kc, om + sh - nuq)
+            s = s + spectral_density(kc, om + sh + nuq)
+        return lam + 0.5 * aq * s, None
+
+    lam0 = jnp.zeros((n // 2 + 1,), dtype)
+    lam, _ = lax.scan(body, lam0, (a, nu))
+    return lam / dx
+
+
 def _analytic_kernel_bins(kernel, n: int, dx, dtype, aliases: int,
                           num_harmonics: int):
     """Kernel part of the analytic circulant spectrum, or None.
 
     Recursive over SumKernel so mixed continuous + line families
     (e.g. SE + periodic, the classic quasi-periodic decomposition)
-    stay analytic.
+    stay analytic; ProductKernel is supported when one factor is
+    periodic (line spectrum) and the other has a continuous density —
+    the quasi-periodic convolution (quasi_periodic_bins).
     """
-    from gaussian_processes_tpu.models.composite import SumKernel
+    from gaussian_processes_tpu.models.composite import (
+        ProductKernel,
+        SumKernel,
+    )
     from gaussian_processes_tpu.models.periodic import PeriodicKernel
 
     if isinstance(kernel, PeriodicKernel):
@@ -268,6 +328,16 @@ def _analytic_kernel_bins(kernel, n: int, dx, dtype, aliases: int,
         if a is None or b is None:
             return None
         return a + b
+    if isinstance(kernel, ProductKernel):
+        for kp, kc in ((kernel.k1, kernel.k2), (kernel.k2, kernel.k1)):
+            if isinstance(kp, PeriodicKernel) and \
+                    not isinstance(kc, PeriodicKernel):
+                probe = spectral_density(kc, jnp.zeros((1,), dtype))
+                if probe is None:
+                    return None
+                return quasi_periodic_bins(kp, kc, n, dx, dtype, aliases,
+                                           num_harmonics)
+        return None
     k = jnp.arange(n // 2 + 1, dtype=dtype)
     om = 2.0 * jnp.pi * k / (n * dx)
     om_s = 2.0 * jnp.pi / dx

@@ -600,3 +600,37 @@ def test_circulant_spectrum_shift_zero_is_finite():
     lam_an = toeplitz.circulant_eigenvalues_analytic(kern, x, 0.0)
     assert bool(jnp.all(lam_an > 0))
     assert bool(jnp.isfinite(toeplitz.circulant_logdet(lam, 128)))
+
+
+def test_quasi_periodic_product_spectrum_matches_fft_oracle():
+    # ROUND-5: the quasi-periodic PRODUCT kernel (SE x periodic — the
+    # classic decaying-periodicity time-series model) has the
+    # closed-form spectrum sum_q (a_q/2)[S_se(o - nu_q) + S_se(o + nu_q)]
+    # (line spectrum convolved with the SE density).  Gate it against
+    # the f64 FFT of the sampled wrapped column, same discipline as the
+    # other closed forms; the period is deliberately incommensurate
+    # (the product spectrum is continuous — no bin splitting involved).
+    from gaussian_processes_tpu.models.composite import ProductKernel
+
+    n = 512
+    x = jnp.asarray(np.arange(n) * (4.0 / n) - 2.0)
+    for w_se, w_p, p in ((0.15, 0.6, 0.173), (0.3, 0.4, 0.291)):
+        kern = ProductKernel(GaussianKernel(h=1.2, w=w_se),
+                             PeriodicKernel(h=0.9, w=w_p, p=p))
+        s2 = 0.04
+        lam_fft = np.asarray(toeplitz.circulant_eigenvalues(
+            toeplitz.toeplitz_column(kern, x), s2))
+        lam_an = toeplitz.circulant_eigenvalues_analytic(kern, x, s2)
+        assert lam_an is not None
+        lam_an = np.asarray(lam_an)
+        mask = lam_fft > 1e-8 * lam_fft.max()
+        rel = np.abs(lam_an - lam_fft)[mask] / lam_fft[mask]
+        assert rel.max() < 1e-4, (w_se, w_p, p, rel.max())
+    # factor order must not matter, and continuous x continuous stays None
+    k_rev = ProductKernel(PeriodicKernel(h=0.9, w=0.6, p=0.173),
+                          GaussianKernel(h=1.2, w=0.15))
+    lam_rev = toeplitz.circulant_eigenvalues_analytic(k_rev, x, 0.04)
+    assert lam_rev is not None
+    k_cc = ProductKernel(GaussianKernel(h=1.0, w=0.3),
+                         Matern32Kernel(h=1.0, w=0.4))
+    assert toeplitz.circulant_eigenvalues_analytic(k_cc, x, 0.04) is None
