@@ -8,11 +8,14 @@ PY ?= python
 native:
 	cd native && $(PY) setup.py build_ext --inplace -q
 
-# default gate: the fast tier (< 10 min on this 4-core host); the slow
-# tier (multi-minute statistical/structured-path integration files) runs
-# in test-all and CI
+# default gate: the fast tier, parallelized over 4 xdist workers
+# (measured round 5: 387 s vs 667 s serial on this 4-core host — under
+# the 600 s budget with margin); the slow tier (multi-minute
+# statistical/structured-path integration files) runs in test-all and
+# CI, SERIALLY — its weak-scaling/efficiency gates measure wall-clock
+# on a dedicated mesh and would flake under worker contention
 test:
-	$(PY) -m pytest tests/ -q -m "not slow"
+	$(PY) -m pytest tests/ -q -m "not slow" -n 4
 
 test-all:
 	$(PY) -m pytest tests/ -q
