@@ -828,18 +828,50 @@ def main():
     # instead of running — the suite always finishes and always emits
     # headline_suite.  The driver's own timeout killed round 4's record
     # at rc=124; this budget makes that impossible by construction.
+    #
+    # Each section runs in a SUBPROCESS (BENCH_MODE=<name>) with a hard
+    # timeout: the axon tunnel was observed (round 5) to wedge single
+    # dispatches indefinitely with the client blocked in an
+    # uninterruptible fetch — no in-process budget check can recover
+    # from that, but killing the section's subprocess can.  Timeout =
+    # min(BENCH_SECTION_TIMEOUT_S, remaining budget).
+    import subprocess
+
     budget = float(os.environ.get("BENCH_BUDGET_S", 600))
+    cap = float(os.environ.get("BENCH_SECTION_TIMEOUT_S", 300))
     t_suite = time.perf_counter()
-    for name, fn in _SECTIONS.items():
+    for name in _SECTIONS:
         elapsed = time.perf_counter() - t_suite
-        if elapsed > budget:
+        remaining = budget - elapsed
+        if remaining < 20:
             _emit({"metric": f"{name}_skipped", "value": None,
                    "skipped": "budget",
                    "elapsed_s": round(elapsed, 1),
                    "budget_s": budget})
             continue
+        env = dict(os.environ, BENCH_MODE=name)
         try:
-            fn()
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, timeout=min(cap, remaining),
+                capture_output=True, text=True,
+            )
+            for line in proc.stdout.splitlines():
+                line = line.strip()
+                if not line.startswith("{"):
+                    continue
+                try:
+                    _emit(json.loads(line))
+                except json.JSONDecodeError:
+                    pass
+            if proc.returncode != 0:
+                tail = (proc.stderr or "")[-300:]
+                _emit({"metric": f"{name}_error", "value": None,
+                       "error": f"rc={proc.returncode}: {tail}"})
+        except subprocess.TimeoutExpired:
+            _emit({"metric": f"{name}_skipped", "value": None,
+                   "skipped": "timeout",
+                   "timeout_s": round(min(cap, remaining), 1)})
         except Exception as e:  # noqa: BLE001 - sections are independent
             print(f"# section {name} failed: {e!r}", file=sys.stderr)
             _emit({"metric": f"{name}_error", "value": None,
