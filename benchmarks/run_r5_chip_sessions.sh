@@ -18,6 +18,9 @@ stage() {
 }
 stage periodic_whittle 1800 python benchmarks/drive_periodic_whittle_r5.py
 stage bench_full       1500 python bench.py
+# second whittle run in the same session: VERDICT r4 item 3's done
+# criterion is vs_baseline stable across two consecutive runs
+stage whittle_again    600  env BENCH_MODE=whittle python bench.py
 stage ski_refine65k_a  1800 env BENCH_MODE=ski_refine BENCH_SKIREF_N=65536 \
   BENCH_SKIREF_M1=128 BENCH_SKIREF_ITERS=300 BENCH_SKIREF_RANK=512 \
   BENCH_SKIREF_ROUNDS=2 python bench.py
