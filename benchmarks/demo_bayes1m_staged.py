@@ -7,9 +7,11 @@ the warmup/collect chunk stream wedges indefinitely (client CPU frozen,
 small probe programs still served fine) — an all-or-nothing 6500-step
 run cannot survive that.  This runner:
 
-* runs warmup once (sample_chees, chunk_size=2), then continues
-  COLLECTION from ``result.final`` in stages of ``STAGE`` draws using
-  the exact collection transition sample_chees uses (chees_step with
+* runs warmup as the same chunked schedule sample_chees uses (flags
+  sliced per chunk — identical programs and inputs), with a heartbeat
+  per chunk dispatch and a checkpoint every 100 warmup iterations,
+  then continues COLLECTION in stages of ``STAGE`` draws using the
+  exact collection transition sample_chees uses (chees_step with
   adapt_traj=False, same max_leapfrog), chunked 2 draws per dispatch;
 * checkpoints the full sampler state pytree + accumulated draws to
   ``D1M_STATE`` after warmup and after every stage (np.savez of the
