@@ -289,6 +289,12 @@ def quasi_periodic_bins(kp, kc, n: int, dx, dtype, aliases: int,
     om_s = 2.0 * jnp.pi / dx
     shifts = [l * om_s for l in range(-aliases, aliases + 1)]
 
+    # jax.checkpoint: without it, autodiff through the scan saves every
+    # step's (n//2+1,)-sized density intermediates — measured 53 GB of
+    # HBM residuals at n=2^20 with 257 harmonics (chip OOM, round 5).
+    # The body is a few dozen elementwise evals; recomputing it on the
+    # backward pass is free next to the memory it saves.
+    @jax.checkpoint
     def body(lam, aq_nu):
         aq, nuq = aq_nu
         s = jnp.zeros_like(lam)
