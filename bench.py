@@ -838,44 +838,67 @@ def main():
     import subprocess
 
     budget = float(os.environ.get("BENCH_BUDGET_S", 600))
-    cap = float(os.environ.get("BENCH_SECTION_TIMEOUT_S", 300))
+    cap = float(os.environ.get("BENCH_SECTION_TIMEOUT_S", 240))
     t_suite = time.perf_counter()
-    for name in _SECTIONS:
-        elapsed = time.perf_counter() - t_suite
-        remaining = budget - elapsed
-        if remaining < 20:
-            _emit({"metric": f"{name}_skipped", "value": None,
-                   "skipped": "budget",
-                   "elapsed_s": round(elapsed, 1),
-                   "budget_s": budget})
-            continue
+
+    def run_section(name, timeout_s):
+        """Run one section subprocess; True on success, else the reason."""
         env = dict(os.environ, BENCH_MODE=name)
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
-                env=env, timeout=min(cap, remaining),
+                env=env, timeout=timeout_s,
                 capture_output=True, text=True,
             )
-            for line in proc.stdout.splitlines():
-                line = line.strip()
-                if not line.startswith("{"):
-                    continue
+        except subprocess.TimeoutExpired:
+            return "timeout"
+        except Exception as e:  # noqa: BLE001 - sections are independent
+            print(f"# section {name} failed: {e!r}", file=sys.stderr)
+            return repr(e)[:300]
+        for line in proc.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
                 try:
                     _emit(json.loads(line))
                 except json.JSONDecodeError:
                     pass
-            if proc.returncode != 0:
-                tail = (proc.stderr or "")[-300:]
-                _emit({"metric": f"{name}_error", "value": None,
-                       "error": f"rc={proc.returncode}: {tail}"})
-        except subprocess.TimeoutExpired:
-            _emit({"metric": f"{name}_skipped", "value": None,
-                   "skipped": "timeout",
-                   "timeout_s": round(min(cap, remaining), 1)})
-        except Exception as e:  # noqa: BLE001 - sections are independent
-            print(f"# section {name} failed: {e!r}", file=sys.stderr)
-            _emit({"metric": f"{name}_error", "value": None,
-                   "error": repr(e)[:300]})
+        if proc.returncode != 0:
+            return f"rc={proc.returncode}: {(proc.stderr or '')[-300:]}"
+        return True
+
+    # pass 1 over all sections, then retry passes over the failures:
+    # tunnel wedges are TRANSIENT (observed: the same dispatch stream
+    # wedges one minute and completes the next), so a timed-out section
+    # deserves another attempt while budget remains rather than a skip.
+    pending = list(_SECTIONS)
+    reasons = {}
+    for attempt in range(3):
+        still = []
+        for name in pending:
+            remaining = budget - (time.perf_counter() - t_suite)
+            if remaining < 30:
+                still.append(name)
+                continue
+            res = run_section(name, min(cap, remaining))
+            if res is True:
+                reasons.pop(name, None)
+            else:
+                reasons[name] = res
+                still.append(name)
+        pending = still
+        if not pending:
+            break
+    elapsed = round(time.perf_counter() - t_suite, 1)
+    for name in pending:
+        reason = reasons.get(name, "budget")
+        rec = {"metric": f"{name}_skipped", "value": None,
+               "elapsed_s": elapsed, "budget_s": budget}
+        if reason in ("timeout", "budget"):
+            rec["skipped"] = reason
+        else:
+            rec["skipped"] = "error"
+            rec["error"] = reason
+        _emit(rec)
     # final combined line: headline first, everything else alongside
     fit_key = f"exact_gp_fit_n{int(os.environ.get('BENCH_N', 16384))}_{DTYPE}_wall"
     vs = None
