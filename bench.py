@@ -328,7 +328,7 @@ def bench_toeplitz():
                "vs_baseline": _cpu_vs(f"toeplitz_{n}", med - floor)})
 
 
-def _scan_diff_step(jax, jnp, lp, u0, k_short=4, k_long=16, reps=3):
+def _scan_diff_step(jax, jnp, lp, u0, k_short=16, k_long=128, reps=3):
     """Per-step device wall of a chained value+grad by scan differencing.
 
     Sub-floor protocol (VERDICT r4 item 3, same scheme as
@@ -373,8 +373,16 @@ def _scan_diff_step(jax, jnp, lp, u0, k_short=4, k_long=16, reps=3):
     for _ in range(reps):
         t0 = time.perf_counter(); run(c_s); ts.append(time.perf_counter() - t0)
         t0 = time.perf_counter(); run(c_l); tl.append(time.perf_counter() - t0)
-    step_s = (min(tl) - min(ts)) / (k_long - k_short)
-    return step_s, min(ts), min(tl)
+    delta = min(tl) - min(ts)
+    step_s = delta / (k_long - k_short)
+    # resolution guard: the difference must clear the wall-timing noise
+    # (measured +/-1-3 ms through the tunnel on ~25 ms walls) or the
+    # per-step value is noise — first chip run of the k=4/16 variant
+    # returned -0.22 ms/step for the 2-D section.  k defaults are sized
+    # so a resolvable op gives delta >> noise; `resolved` tells the
+    # caller whether to archive a ratio or only a lower bound.
+    resolved = delta > 0.1 * min(ts)
+    return step_s, min(ts), min(tl), resolved
 
 
 def bench_whittle():
@@ -399,12 +407,14 @@ def bench_whittle():
     k = GaussianKernel(h=jnp.asarray(1.0, DTYPE), w=jnp.asarray(0.006, DTYPE))
     lp = make_log_posterior_whittle(k, x, y, prior_std=1.0, jitter=1e-6)
     u0 = jnp.log(jnp.asarray([1.0, 0.006, 0.1], DTYPE))
-    step_s, s_wall, l_wall = _scan_diff_step(jax, jnp, lp, u0)
+    step_s, s_wall, l_wall, ok = _scan_diff_step(jax, jnp, lp, u0)
     _emit({"metric": f"whittle_logpost_vg_n{n}_{DTYPE}_wall",
-           "value": round(step_s, 5), "unit": "s",
-           "protocol": "scan-diff k=4 vs k=16, perturbed carry",
+           "value": round(step_s, 6), "unit": "s",
+           "protocol": "scan-diff k=16 vs k=128, perturbed carry",
            "short_wall": round(s_wall, 5), "long_wall": round(l_wall, 5),
-           "vs_baseline": _cpu_vs("whittle", step_s)})
+           "vs_baseline": _cpu_vs("whittle", step_s) if ok else None,
+           **({} if ok else
+              {"vs_baseline_lower_bound": _cpu_vs("whittle", l_wall / 128)})})
 
     # 2-D torus variant: the per-leapfrog cost of fully Bayesian
     # hyperparameters on a 1024x1024 grid (D-dim Whittle, one fftn)
@@ -427,12 +437,14 @@ def bench_whittle():
         k2, op, jnp.asarray(y2), prior_std=1.0, jitter=1e-6
     )
     u2 = jnp.log(jnp.asarray([1.0, 0.01, 0.01, 0.1], DTYPE))
-    step2, s2, l2 = _scan_diff_step(jax, jnp, lp2, u2)
+    step2, s2, l2, ok2 = _scan_diff_step(jax, jnp, lp2, u2)
     _emit({"metric": f"whittle2d_logpost_vg_n{npd * npd}_{DTYPE}_wall",
-           "value": round(step2, 5), "unit": "s",
-           "protocol": "scan-diff k=4 vs k=16, perturbed carry",
+           "value": round(step2, 6), "unit": "s",
+           "protocol": "scan-diff k=16 vs k=128, perturbed carry",
            "short_wall": round(s2, 5), "long_wall": round(l2, 5),
-           "vs_baseline": _cpu_vs("whittle2d", step2)})
+           "vs_baseline": _cpu_vs("whittle2d", step2) if ok2 else None,
+           **({} if ok2 else
+              {"vs_baseline_lower_bound": _cpu_vs("whittle2d", l2 / 128)})})
 
 
 def bench_ski():
