@@ -818,12 +818,12 @@ def bench_nuts():
 # never costs the round its sampler record again (BENCH_r04 rc=124).
 _SECTIONS = {
     "fit": bench_fit,
-    "chol": bench_chol,
+    "chees": bench_chees,
+    "nuts": bench_nuts,
     "whittle": bench_whittle,
     "rff": bench_rff,
     "sgpr": bench_sgpr,
-    "chees": bench_chees,
-    "nuts": bench_nuts,
+    "chol": bench_chol,
     "toeplitz": bench_toeplitz,
     "ski": bench_ski,
     "ski_refine": bench_ski_refine,
@@ -849,7 +849,10 @@ def main():
     # min(BENCH_SECTION_TIMEOUT_S, remaining budget).
     import subprocess
 
-    budget = float(os.environ.get("BENCH_BUDGET_S", 600))
+    # 700 + one 240 s section in flight bounds the suite at ~940 s plus
+    # interpreter startups — under the driver's observed tolerance
+    # (round 4 was killed at >= ~1100 s)
+    budget = float(os.environ.get("BENCH_BUDGET_S", 700))
     cap = float(os.environ.get("BENCH_SECTION_TIMEOUT_S", 240))
     t_suite = time.perf_counter()
 
