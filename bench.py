@@ -849,10 +849,14 @@ def main():
     # min(BENCH_SECTION_TIMEOUT_S, remaining budget).
     import subprocess
 
-    # 700 + one 240 s section in flight bounds the suite at ~940 s plus
+    # 600 + one 240 s section in flight bounds the suite at ~840 s plus
     # interpreter startups — under the driver's observed tolerance
-    # (round 4 was killed at >= ~1100 s)
-    budget = float(os.environ.get("BENCH_BUDGET_S", 700))
+    # (round 4 was killed at >= ~1100 s).  Measured 2026-08-21: the
+    # high-value prefix (fit + chees + nuts + whittle 1-D/2-D + rff)
+    # completes in ~490-560 s on a healthy tunnel, so the sampler lines
+    # fit with margin; the structured sections have standing standalone
+    # records (BASELINE.md round-5 table).
+    budget = float(os.environ.get("BENCH_BUDGET_S", 600))
     cap = float(os.environ.get("BENCH_SECTION_TIMEOUT_S", 240))
     t_suite = time.perf_counter()
 
