@@ -83,19 +83,48 @@ def main():
     state_path = os.environ.get("D1M_STATE", "/tmp/bayes1m_staged_state.npz")
     save_path = os.environ.get("D1M_SAVE", "")
 
+    kernel_mode = os.environ.get("D1M_KERNEL", "se")
+
     rng = np.random.default_rng(0)
     x = (np.arange(n) * (2 * np.pi / n) - np.pi).astype(np.float32)
     y = (np.sin(50 * x) + 0.1 * rng.standard_normal(n)).astype(np.float32)
-    h0, w0, s0 = 0.7, 0.04, 0.1
-    k0 = GaussianKernel(h=jnp.asarray(h0, jnp.float32),
-                        w=jnp.asarray(w0, jnp.float32))
-    u0 = np.log(np.array([h0, w0, s0], dtype=np.float32))
-    log_post = make_log_posterior_whittle(
-        k0, x, y, prior_mean=jnp.asarray(u0), prior_std=1.0, jitter=1e-6)
-
     k1, k2 = jax.random.split(jax.random.key(0))
-    init = init_positions(k0, s0, k1, n_chains=n_chains, spread=spread,
-                          dtype=jnp.float32)
+    if kernel_mode == "se":
+        h0, w0, s0 = 0.7, 0.04, 0.1
+        k0 = GaussianKernel(h=jnp.asarray(h0, jnp.float32),
+                            w=jnp.asarray(w0, jnp.float32))
+        u0 = np.log(np.array([h0, w0, s0], dtype=np.float32))
+        log_post = make_log_posterior_whittle(
+            k0, x, y, prior_mean=jnp.asarray(u0), prior_std=1.0,
+            jitter=1e-6)
+        init = init_positions(k0, s0, k1, n_chains=n_chains,
+                              spread=spread, dtype=jnp.float32)
+    elif kernel_mode == "periodic_fixedp":
+        # the reference's flagship periodic kernel with the period FIXED
+        # at its periodogram estimate: the p-posterior at n=2^20 is
+        # narrower than f32 ulp spacing (BASELINE.md round-5 "period-
+        # resolution wall"), so p is a point estimate and (h, w, s)
+        # are sampled over the round-5 analytic line spectrum
+        from gaussian_processes_tpu import PeriodicKernel
+
+        h0, w0, p0, s0 = 0.7, 1.0, 0.02, 0.1
+        k0 = PeriodicKernel(h=jnp.asarray(h0, jnp.float32),
+                            w=jnp.asarray(w0, jnp.float32),
+                            p=jnp.asarray(p0, jnp.float32))
+        u04 = np.log(np.array([h0, w0, p0, s0], dtype=np.float32))
+        lp4 = make_log_posterior_whittle(
+            k0, x, y, prior_mean=jnp.asarray(u04), prior_std=1.0,
+            jitter=1e-6)
+        logp_hat = jnp.asarray(np.log(p0), jnp.float32)
+
+        def log_post(u3):
+            u4 = jnp.concatenate([u3[:2], logp_hat[None], u3[2:]])
+            return lp4(u4)
+
+        init = jnp.asarray(np.log([h0, w0, s0]), jnp.float32)[None, :] + \
+            spread * jax.random.normal(k1, (n_chains, 3), jnp.float32)
+    else:
+        raise ValueError(f"unknown D1M_KERNEL={kernel_mode}")
 
     def save_state(state, draws, accs, wall_accum, warm_done):
         leaves, _ = jax.tree.flatten(state)
@@ -234,8 +263,9 @@ def main():
     std_pc = positions.std(0).max(-1)
     if save_path:
         np.savez(save_path, positions=positions, accept=accs)
+    tag = "" if kernel_mode == "se" else f"_{kernel_mode}"
     out = {
-        "metric": f"bayes1m_chees_whittle_n{n}_c{n_chains}",
+        "metric": f"bayes1m_chees_whittle{tag}_n{n}_c{n_chains}",
         "value": round(positions.shape[0] * n_chains / wall_accum, 1),
         "unit": "samples/s (incl. warmup+compile, staged walls)",
         "wall_s": round(wall_accum, 1),
