@@ -38,6 +38,15 @@ presents as a frozen chain at accept ≈ 1 (draw std exactly 0).  Watch
 very different scales are genuinely expected, NUTS (per-chain dynamic
 trajectories) is the robust choice — with the measured lockstep
 throughput cost (BASELINE.md "Sampler policy").
+
+Round-5 addendum (measured, BASELINE.md "period-resolution wall"):
+a posterior coordinate can be narrower than the f32 ulp spacing of the
+sampling coordinate itself (the period of a periodic kernel at n=2^20:
+identification sharpens ~n^1.5).  Then NO f32 sampler moves that
+coordinate — NUTS removes the freezes but the coordinate still pins,
+and its zero variance starves pooled mass adaptation.  Fix the
+coordinate at its point estimate (its uncertainty is sub-ulp anyway),
+rescale it, or evaluate that marginal in f64 on the CPU backend.
 """
 
 from __future__ import annotations
